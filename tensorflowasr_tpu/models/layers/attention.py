@@ -1,0 +1,300 @@
+"""Multi-head attention: vanilla + Transformer-XL relative, with streaming
+chunk masks and bounded KV memory.
+
+Semantics ported from behavior of the reference
+(``tensorflow_asr/models/layers/multihead_attention.py``):
+  - ``rel_left_shift`` (:27-77): Transformer-XL relative-shift trick, causal
+    (R = M+T) and non-causal (R = M+2T-1 → sliced to M+T) variants
+  - ``compute_streaming_mask`` (:104-143): chunked visibility per
+    http://arxiv.org/abs/2010.11395 — queries see their whole chunk plus
+    ``history_size`` frames before the chunk start (-1 = unlimited)
+  - ``Memory`` (layers/memory.py:32-85): fixed-length KV cache prepended to
+    keys/values, new memory = last ``memory_length`` positions, gradients
+    stopped in training
+  - relative attention with content/positional bias vectors (:459-582),
+    either per-layer parameters or encoder-global ones passed in
+
+Unlike the reference (which only masks query rows), padded KV columns are
+masked too — strictly more correct under padding.
+
+Everything is jit-safe with static shapes; masks are boolean and merged with
+logical AND. Scores softmax in float32 for bf16 stability.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from tensorflowasr_tpu.utils import math_util
+
+
+def rel_left_shift(x: jax.Array, causal: bool = False) -> jax.Array:
+    """Relative shift [B, N, T, R] → [B, N, T, R(causal) | R(sliced later)].
+
+    causal: R = M+T positions (0 is most distant past) → output [B,N,T,M+T]
+    non-causal: R = M+2T-1 positions → output [B,N,T,M+T] after the caller
+    slices the last S columns.
+    """
+    b, n, t, r = x.shape
+    if causal:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (1, 0)))
+        x = x.reshape(b, n, -1)
+        x = jnp.pad(x, ((0, 0), (0, 0), (r - t, 0)))
+        x = x.reshape(b, n, 1 + t, r)
+        x = x[:, :, 1:, :]
+    else:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 1)))
+        x = x.reshape(b, n, -1)
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, r - t)))
+        x = x.reshape(b, n, 1 + t, r)
+        x = x[:, :, :t, (t - 1):]
+    return x
+
+
+def compute_causal_mask(t: int, s: int) -> jax.Array:
+    """[T, S] lower-triangular (aligned at the end: query i sees keys ≤ i+(S-T))."""
+    return jnp.tril(jnp.ones((t, s), bool), k=s - t)
+
+
+def compute_streaming_mask(chunk_size: int, history_size: int, t: int, s: int) -> jax.Array:
+    """[T, S] chunked-attention visibility (reference :104-143).
+
+    Query i (chunk c = i // chunk_size) sees keys in
+    [max(0, c·chunk − history), min(S, c·chunk + chunk)).
+    ``history_size < 0`` means unlimited history.
+    """
+    hist = s if history_size < 0 else history_size
+    chunk_start = (jnp.arange(t) // chunk_size) * chunk_size
+    start = jnp.maximum(0, chunk_start - hist)
+    end = jnp.minimum(s, chunk_start + chunk_size)
+    cols = jnp.arange(s)
+    return (cols[None, :] >= start[:, None]) & (cols[None, :] < end[:, None])
+
+
+def _merge_masks(
+    batch: int,
+    t: int,
+    s: int,
+    query_mask: Optional[jax.Array],
+    kv_mask: Optional[jax.Array],
+    attention_mask: Optional[jax.Array],
+    use_causal_mask: bool,
+    chunk_size: Optional[int],
+    history_size: Optional[int],
+) -> Optional[jax.Array]:
+    """Combine all masks → [B, 1, T, S] bool or None."""
+    mask = None
+
+    def land(a, b):
+        return b if a is None else (a & b)
+
+    if query_mask is not None:
+        mask = land(mask, query_mask[:, None, :, None])
+    if kv_mask is not None:
+        mask = land(mask, kv_mask[:, None, None, :])
+    if use_causal_mask:
+        mask = land(mask, compute_causal_mask(t, s)[None, None])
+    if chunk_size is not None and history_size is not None:
+        mask = land(mask, compute_streaming_mask(chunk_size, history_size, t, s)[None, None])
+    if attention_mask is not None:
+        am = attention_mask if attention_mask.ndim == 4 else attention_mask[:, None]
+        mask = land(mask, am)
+    return mask
+
+
+def _masked_softmax(scores: jax.Array, mask: Optional[jax.Array]) -> jax.Array:
+    """Softmax over the last axis in f32; fully-masked rows become zeros."""
+    dtype = scores.dtype
+    scores = scores.astype(jnp.float32)
+    if mask is not None:
+        scores = jnp.where(mask, scores, jnp.float32(-1e30))
+    probs = jax.nn.softmax(scores, axis=-1)
+    if mask is not None:
+        probs = jnp.where(jnp.any(mask, axis=-1, keepdims=True), probs, 0.0)
+    return probs.astype(dtype)
+
+
+class MemoryState:
+    """Helpers for the KV memory pytree: {"k": [B,M,D], "v": [B,M,D], "mask": [B,M]}."""
+
+    @staticmethod
+    def init(batch: int, memory_length: int, dmodel: int, dtype=jnp.float32) -> dict:
+        return {
+            "k": jnp.zeros((batch, memory_length, dmodel), dtype),
+            "v": jnp.zeros((batch, memory_length, dmodel), dtype),
+            "mask": jnp.zeros((batch, memory_length), bool),
+        }
+
+
+class MultiHeadAttention(nn.Module):
+    """MHA with optional causal/streaming masks and KV memory.
+
+    Inputs are raw (unprojected) q/v/k of dim D; output is projected back to
+    ``output_dim`` (defaults to D).
+    """
+
+    num_heads: int
+    key_dim: int
+    value_dim: Optional[int] = None
+    output_dim: Optional[int] = None
+    dropout: float = 0.0
+    use_bias: bool = True
+    memory_length: Optional[int] = None
+    chunk_size: Optional[int] = None
+    history_size: Optional[int] = None
+    dtype: Any = jnp.float32
+
+    def _proj(self, name: str, x: jax.Array, head_dim: int) -> jax.Array:
+        return nn.DenseGeneral(
+            features=(self.num_heads, head_dim),
+            axis=-1,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name=name,
+        )(x)
+
+    def _out_proj(self, x: jax.Array, output_dim: int) -> jax.Array:
+        return nn.DenseGeneral(
+            features=output_dim,
+            axis=(-2, -1),
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="output",
+        )(x)
+
+    def _apply_memory(self, key, value, kv_mask, memory_state, train: bool):
+        """Prepend memory to k/v; emit new memory (last M positions)."""
+        if self.memory_length is None or memory_state is None:
+            return key, value, kv_mask, None
+        m = memory_state
+        mem_k, mem_v, mem_mask = m["k"].astype(key.dtype), m["v"].astype(value.dtype), m["mask"]
+        if train:
+            mem_k = jax.lax.stop_gradient(mem_k)
+            mem_v = jax.lax.stop_gradient(mem_v)
+        new_key = jnp.concatenate([mem_k, key], axis=1)
+        new_value = jnp.concatenate([mem_v, value], axis=1)
+        if kv_mask is None:
+            kv_mask = jnp.ones(key.shape[:2], bool)
+        new_mask = jnp.concatenate([mem_mask, kv_mask], axis=1)
+        new_state = {
+            "k": new_key[:, -self.memory_length:, :],
+            "v": new_value[:, -self.memory_length:, :],
+            "mask": new_mask[:, -self.memory_length:],
+        }
+        return new_key, new_value, new_mask, new_state
+
+    def _attend(self, q, k, v, mask, train: bool):
+        scale = jnp.asarray(1.0 / jnp.sqrt(self.key_dim), q.dtype)
+        scores = jnp.einsum("BTNH,BSNH->BNTS", q * scale, k)
+        probs = _masked_softmax(scores, mask)
+        if self.dropout > 0:
+            probs = nn.Dropout(self.dropout, deterministic=not train)(probs)
+        return jnp.einsum("BNTS,BSNH->BTNH", probs, v)
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jax.Array,
+        value: jax.Array,
+        key: Optional[jax.Array] = None,
+        *,
+        query_mask: Optional[jax.Array] = None,
+        kv_mask: Optional[jax.Array] = None,
+        attention_mask: Optional[jax.Array] = None,
+        use_causal_mask: bool = False,
+        memory_state: Optional[dict] = None,
+        train: bool = False,
+    ):
+        if key is None:
+            key = value
+        key, value, kv_mask, new_memory = self._apply_memory(key, value, kv_mask, memory_state, train)
+
+        q = self._proj("query", query, self.key_dim)
+        k = self._proj("key", key, self.key_dim)
+        v = self._proj("value", value, self.value_dim or self.key_dim)
+
+        mask = _merge_masks(
+            query.shape[0], query.shape[1], key.shape[1], query_mask, kv_mask, attention_mask, use_causal_mask, self.chunk_size, self.history_size
+        )
+        out = self._attend(q, k, v, mask, train)
+        out = self._out_proj(out, self.output_dim or query.shape[-1])
+        return out, new_memory
+
+    def init_memory(self, batch: int, dmodel: int) -> Optional[dict]:
+        if self.memory_length is None:
+            return None
+        return MemoryState.init(batch, self.memory_length, dmodel)
+
+
+class MultiHeadRelativeAttention(MultiHeadAttention):
+    """Transformer-XL relative-position MHA (reference :459-582).
+
+    ``relpe`` is the relative positional encoding [B, R, D] produced by
+    ``RelativeSinusoidalPositionalEncoding`` — R = M+2T-1 (non-causal) or
+    M+T (causal). Content/positional biases [N, H] are per-layer parameters
+    when ``use_attention_bias`` else passed in (encoder-global, Conformer
+    style) or zero.
+    """
+
+    use_attention_bias: bool = False
+    causal: bool = False
+
+    @nn.compact
+    def __call__(  # type: ignore[override]
+        self,
+        query: jax.Array,
+        value: jax.Array,
+        key: Optional[jax.Array] = None,
+        *,
+        relpe: jax.Array,
+        content_attention_bias: Optional[jax.Array] = None,
+        positional_attention_bias: Optional[jax.Array] = None,
+        query_mask: Optional[jax.Array] = None,
+        kv_mask: Optional[jax.Array] = None,
+        attention_mask: Optional[jax.Array] = None,
+        use_causal_mask: bool = False,
+        memory_state: Optional[dict] = None,
+        train: bool = False,
+    ):
+        if key is None:
+            key = value
+        key, value, kv_mask, new_memory = self._apply_memory(key, value, kv_mask, memory_state, train)
+
+        q = self._proj("query", query, self.key_dim)
+        k = self._proj("key", key, self.key_dim)
+        v = self._proj("value", value, self.value_dim or self.key_dim)
+        pos = self._proj("encoding", relpe.astype(self.dtype), self.key_dim)  # [B, R, N, H]
+
+        if self.use_attention_bias:
+            cbias = self.param("content_attention_bias", nn.initializers.zeros, (self.num_heads, self.key_dim), jnp.float32)
+            pbias = self.param("positional_attention_bias", nn.initializers.zeros, (self.num_heads, self.key_dim), jnp.float32)
+        else:
+            cbias = content_attention_bias if content_attention_bias is not None else jnp.zeros((self.num_heads, self.key_dim), jnp.float32)
+            pbias = positional_attention_bias if positional_attention_bias is not None else jnp.zeros((self.num_heads, self.key_dim), jnp.float32)
+
+        scale = jnp.asarray(1.0 / jnp.sqrt(self.key_dim), q.dtype)
+        content_q = (q + cbias.astype(q.dtype)) * scale
+        content_scores = jnp.einsum("BTNH,BSNH->BNTS", content_q, k)
+
+        positional_q = (q + pbias.astype(q.dtype)) * scale
+        positional_scores = jnp.einsum("BTNH,BRNH->BNTR", positional_q, pos)
+        positional_scores = rel_left_shift(positional_scores, causal=self.causal)
+        s_len = content_scores.shape[-1]
+        positional_scores = positional_scores[..., positional_scores.shape[-1] - s_len:]
+
+        scores = content_scores + positional_scores
+        mask = _merge_masks(
+            query.shape[0], query.shape[1], key.shape[1], query_mask, kv_mask, attention_mask, use_causal_mask, self.chunk_size, self.history_size
+        )
+        probs = _masked_softmax(scores, mask)
+        if self.dropout > 0:
+            probs = nn.Dropout(self.dropout, deterministic=not train)(probs)
+        out = jnp.einsum("BNTS,BSNH->BTNH", probs, v)
+        out = self._out_proj(out, self.output_dim or query.shape[-1])
+        return out, new_memory

@@ -1,0 +1,93 @@
+"""In-model feature extraction layer (frontend + train-time augmentation).
+
+Mirrors the reference's ``FeatureExtraction`` Keras layer
+(``models/layers/feature_extraction.py:33,255-303``): the frontend runs
+inside the model so the exported inference function is raw audio → text.
+Augmentation (signal stage before the frontend, feature stage after) only
+runs when ``train=True`` and draws randomness from the flax
+``"augment"`` RNG stream.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from tensorflowasr_tpu.augmentations import Augmentation
+from tensorflowasr_tpu.ops import frontend
+
+
+class FeatureExtraction(nn.Module):
+    sample_rate: int = 16000
+    frame_ms: int = 25
+    stride_ms: int = 10
+    num_feature_bins: int = 80
+    feature_type: str = "log_mel_spectrogram"
+    preemphasis: float = 0.97
+    pad_end: bool = True
+    use_librosa_like_stft: bool = False
+    epsilon: float = 1e-6
+    lower_edge_hertz: float = 0.0
+    upper_edge_hertz: float = 8000.0
+    log_base: str = "e"
+    nfft: int = 512
+    normalize_signal: bool = False
+    normalize_zscore: bool = False
+    normalize_min_max: bool = False
+    padding: int = 0
+    augmentation_config: dict | None = None
+    dtype: Any = jnp.float32
+
+    @property
+    def config(self) -> frontend.FrontendConfig:
+        return frontend.FrontendConfig(
+            sample_rate=self.sample_rate,
+            frame_ms=self.frame_ms,
+            stride_ms=self.stride_ms,
+            num_feature_bins=self.num_feature_bins,
+            feature_type=self.feature_type,
+            preemphasis=self.preemphasis,
+            pad_end=self.pad_end,
+            use_librosa_like_stft=self.use_librosa_like_stft,
+            epsilon=self.epsilon,
+            lower_edge_hertz=self.lower_edge_hertz,
+            upper_edge_hertz=self.upper_edge_hertz,
+            log_base=self.log_base,
+            nfft=self.nfft,
+            normalize_signal=self.normalize_signal,
+            normalize_zscore=self.normalize_zscore,
+            normalize_min_max=self.normalize_min_max,
+            padding=self.padding,
+        )
+
+    @property
+    def time_reduction_factor(self) -> int:
+        return 1
+
+    def get_nframes(self, nsamples):
+        return self.config.get_nframes(nsamples)
+
+    @nn.compact
+    def __call__(self, signals: jax.Array, signals_length: jax.Array, train: bool = False):
+        """[B, N] raw audio → ([B, T, F] features in self.dtype, [B] lengths)."""
+        aug = Augmentation(self.augmentation_config)
+        cfg = self.config
+
+        if train and (aug.signal_augmentations or aug.feature_augmentations):
+            key = self.make_rng("augment")
+            k_sig, k_feat = jax.random.split(key)
+        else:
+            k_sig = k_feat = None
+
+        if train and aug.signal_augmentations:
+            signals, signals_length = aug.signal_augment(signals, signals_length, k_sig)
+
+        features, features_length = frontend.extract_features(signals, signals_length, cfg)
+
+        if train and aug.feature_augmentations:
+            features, features_length = aug.feature_augment(features, features_length, k_feat)
+
+        return features.astype(self.dtype), features_length
