@@ -1,0 +1,276 @@
+"""Transducer (RNN-T) model: prediction network ⊗ encoder → joint network.
+
+Structure parity with the reference
+(``tensorflow_asr/models/transducer/base_transducer.py``):
+  - ``TransducerPrediction`` (:38-173): embedding/one-hot label encoder →
+    N × (RNN → optional LN → optional projection); single-step ``step``
+    path for decode loops
+  - ``TransducerJoint`` (:177-302): optional pre-joint linears, add/mul
+    broadcast merge [B,T,1,J]⊕[B,1,U,J], activation, vocab projection
+  - ``Transducer`` (:305-464): training forward → [B, T, U+1, V] logits;
+    ``encode`` + ``decode_step`` expose the pieces the batched greedy/beam
+    decoders (ops/transducer_decode.py) need — the reference's
+    frame-synchronous while_loop (:496-575) lives there.
+
+Decoding entry points (``recognize_*``) are free functions operating on
+(model, variables) so they can be jitted and composed with shardings.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from tensorflowasr_tpu import schemas
+from tensorflowasr_tpu.models.layers.embedding import Embedding, OneHotBlank
+from tensorflowasr_tpu.models.layers.feature_extraction import FeatureExtraction
+from tensorflowasr_tpu.models.layers.rnn import RNN
+from tensorflowasr_tpu.ops import transducer_decode
+from tensorflowasr_tpu.utils import math_util
+
+JOINT_MODES = ("add", "mul")
+
+
+class TransducerPrediction(nn.Module):
+    blank: int
+    vocab_size: int
+    label_encoder_mode: str = "embedding"
+    embed_dim: int = 0
+    num_rnns: int = 1
+    rnn_units: int = 512
+    rnn_type: str = "lstm"
+    rnn_unroll: bool = False
+    layer_norm: bool = True
+    projection_units: int = 0
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        assert self.label_encoder_mode in ("one_hot", "embedding")
+        if self.label_encoder_mode == "embedding":
+            self.label_encoder = Embedding(self.vocab_size, self.embed_dim, dtype=self.dtype, name="embedding")
+        else:
+            self.label_encoder = OneHotBlank(self.vocab_size, blank=self.blank, dtype=self.dtype, name="one_hot")
+        self.rnns = [
+            RNN(units=self.rnn_units, rnn_type=self.rnn_type, unroll=8 if self.rnn_unroll else 1, dtype=self.dtype, name=f"rnn_{i}")
+            for i in range(self.num_rnns)
+        ]
+        if self.layer_norm:
+            self.lns = [nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name=f"ln_{i}") for i in range(self.num_rnns)]
+        if self.projection_units > 0:
+            self.projections = [
+                nn.Dense(self.projection_units, dtype=self.dtype, param_dtype=jnp.float32, name=f"projection_{i}") for i in range(self.num_rnns)
+            ]
+
+    def init_state(self, batch: int):
+        """Zero states: list over rnns of cell carries."""
+
+        def zeros_carry():
+            if self.rnn_type == "lstm":
+                return (jnp.zeros((batch, self.rnn_units)), jnp.zeros((batch, self.rnn_units)))
+            if self.rnn_type == "gru":
+                return jnp.zeros((batch, self.rnn_units))
+            return (jnp.zeros((batch, self.rnn_units)),)
+
+        return tuple(zeros_carry() for _ in range(self.num_rnns))
+
+    def __call__(self, tokens: jax.Array, lengths: Optional[jax.Array] = None, train: bool = False):
+        """[B, U] tokens → [B, U, P]."""
+        x = self.label_encoder(tokens, lengths)
+        for i, rnn in enumerate(self.rnns):
+            x, _ = rnn(x, lengths)
+            if self.layer_norm:
+                x = self.lns[i](x)
+            if self.projection_units > 0:
+                x = self.projections[i](x)
+        return x
+
+    def step(self, token: jax.Array, states):
+        """Single step: [B] token + states → ([B, P], new states)."""
+        x = self.label_encoder(token[:, None])[:, 0]  # [B, E]
+        new_states = []
+        for i, rnn in enumerate(self.rnns):
+            x, st = rnn.step(x, states[i])
+            new_states.append(st)
+            if self.layer_norm:
+                x = self.lns[i](x)
+            if self.projection_units > 0:
+                x = self.projections[i](x)
+        return x, tuple(new_states)
+
+
+class TransducerJoint(nn.Module):
+    vocab_size: int
+    joint_dim: int = 1024
+    activation: str = "tanh"
+    prejoint_encoder_linear: bool = True
+    prejoint_prediction_linear: bool = True
+    postjoint_linear: bool = False
+    joint_mode: str = "add"
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        assert self.joint_mode in JOINT_MODES
+        if self.prejoint_encoder_linear:
+            self.ffn_enc = nn.Dense(self.joint_dim, dtype=self.dtype, param_dtype=jnp.float32, name="enc")
+        if self.prejoint_prediction_linear:
+            self.ffn_pred = nn.Dense(self.joint_dim, dtype=self.dtype, param_dtype=jnp.float32, name="pred")
+        if self.postjoint_linear:
+            self.ffn = nn.Dense(self.joint_dim, dtype=self.dtype, param_dtype=jnp.float32, name="ffn")
+        self.ffn_out = nn.Dense(self.vocab_size, dtype=self.dtype, param_dtype=jnp.float32, name="vocab")
+
+    def _act(self, x):
+        if self.activation == "tanh":
+            return jnp.tanh(x)
+        from tensorflowasr_tpu.models.layers.general import get_activation
+
+        return get_activation(self.activation)(x)
+
+    def __call__(self, enc: jax.Array, pred: jax.Array, train: bool = False) -> jax.Array:
+        """[B, T, E] × [B, U, P] → [B, T, U, V]."""
+        if self.prejoint_encoder_linear:
+            enc = self.ffn_enc(enc)
+        if self.prejoint_prediction_linear:
+            pred = self.ffn_pred(pred)
+        out = enc[:, :, None, :] + pred[:, None, :, :] if self.joint_mode == "add" else enc[:, :, None, :] * pred[:, None, :, :]
+        if self.postjoint_linear:
+            out = self.ffn(out)
+        out = self._act(out)
+        return self.ffn_out(out)
+
+    def step(self, enc_frame: jax.Array, pred_step: jax.Array) -> jax.Array:
+        """Single (t, u) cell: [B, E] × [B, P] → [B, V]."""
+        if self.prejoint_encoder_linear:
+            enc_frame = self.ffn_enc(enc_frame)
+        if self.prejoint_prediction_linear:
+            pred_step = self.ffn_pred(pred_step)
+        out = enc_frame + pred_step if self.joint_mode == "add" else enc_frame * pred_step
+        if self.postjoint_linear:
+            out = self.ffn(out)
+        out = self._act(out)
+        return self.ffn_out(out)
+
+
+class Transducer(nn.Module):
+    """Generic transducer over any encoder module.
+
+    Subclasses (Conformer, ContextNet, RnnTransducer, TransformerT) provide
+    ``make_encoder``; everything else is shared.
+    """
+
+    speech_config: dict
+    encoder_config: dict
+    prediction_config: dict
+    joint_config: dict
+    blank: int = 0
+    vocab_size: int = 1000
+    dtype: Any = jnp.float32
+
+    def make_encoder(self) -> nn.Module:
+        raise NotImplementedError
+
+    def setup(self):
+        self.feature_extraction = FeatureExtraction(**self.speech_config, dtype=self.dtype, name="feature_extraction")
+        self.encoder = self.make_encoder()
+        self.predict_net = TransducerPrediction(
+            blank=self.blank, vocab_size=self.vocab_size, dtype=self.dtype, name="prediction", **self.prediction_config
+        )
+        self.joint_net = TransducerJoint(vocab_size=self.vocab_size, dtype=self.dtype, name="joint", **self.joint_config)
+
+    @property
+    def time_reduction_factor(self) -> int:
+        return self.make_encoder().time_reduction_factor
+
+    # ------------------------------- training ------------------------------- #
+
+    def __call__(self, inputs: schemas.TrainInput, train: bool = False) -> schemas.TrainOutput:
+        feats, flens = self.feature_extraction(inputs.inputs, inputs.inputs_length, train=train)
+        enc, elens, _ = self.encoder(feats, flens, train=train)
+        pred = self.predict_net(inputs.predictions, inputs.predictions_length, train=train)
+        logits = self.joint_net(enc, pred, train=train)
+        return schemas.TrainOutput(logits=logits, logits_length=elens)
+
+    # ------------------------------ inference ------------------------------- #
+
+    def encode(self, signals: jax.Array, signals_length: jax.Array, initial_state=None):
+        """Raw audio → (encoded, encoded_length, next_encoder_states)."""
+        feats, flens = self.feature_extraction(signals, signals_length, train=False)
+        return self.encoder(feats, flens, initial_state=initial_state, train=False)
+
+    def decode_step(self, enc_frame: jax.Array, prev_tokens: jax.Array, states):
+        """One frame joint: ([B, E], [B], states) → ([B, V] logits, states)."""
+        pred, new_states = self.predict_net.step(prev_tokens, states)
+        logits = self.joint_net.step(enc_frame, pred)
+        return logits, new_states
+
+    def init_decoder_states(self, batch: int):
+        # derived from config (not setup fields) so it works on unbound modules
+        rnn_type = self.prediction_config.get("rnn_type", "lstm")
+        rnn_units = self.prediction_config.get("rnn_units", 512)
+        num_rnns = self.prediction_config.get("num_rnns", 1)
+
+        def zeros_carry():
+            if rnn_type == "lstm":
+                return (jnp.zeros((batch, rnn_units)), jnp.zeros((batch, rnn_units)))
+            if rnn_type == "gru":
+                return jnp.zeros((batch, rnn_units))
+            return (jnp.zeros((batch, rnn_units)),)
+
+        return tuple(zeros_carry() for _ in range(num_rnns))
+
+    def init_encoder_states(self, batch: int):
+        return self.make_encoder().init_state(batch)
+
+    def init_tokens(self, batch: int):
+        return jnp.full((batch,), self.blank, jnp.int32)
+
+
+# --------------------------- decode entry points --------------------------- #
+
+
+def recognize(model: Transducer, variables, inputs: schemas.PredictInput, beam_width: int = 0, max_token_factor: int = 2):
+    """Greedy (or beam when ``beam_width > 0``) decode of raw audio.
+
+    Mirrors ``Transducer.recognize``/``recognize_batch``
+    (base_transducer.py:474-575) incl. carried streaming states.
+    """
+    encoded, encoded_length, next_encoder_states = model.apply(
+        variables, inputs.inputs, inputs.inputs_length, initial_state=inputs.previous_encoder_states, method=model.encode
+    )
+    batch = encoded.shape[0]
+
+    def step_fn(enc_frame, prev_tokens, states):
+        return model.apply(variables, enc_frame, prev_tokens, states, method=model.decode_step)
+
+    prev_tokens = inputs.previous_tokens
+    if prev_tokens is None:
+        prev_tokens = jnp.full((batch,), model.blank, jnp.int32)
+    else:
+        prev_tokens = jnp.asarray(prev_tokens, jnp.int32).reshape((batch,))
+    decoder_states = inputs.previous_decoder_states
+    if decoder_states is None:
+        decoder_states = model.init_decoder_states(batch)
+
+    if beam_width and beam_width > 0:
+        tokens, lengths = transducer_decode.transducer_beam_search_decode(
+            encoded.astype(jnp.float32), encoded_length, step_fn, prev_tokens, decoder_states, beam_width=beam_width, blank=model.blank
+        )
+        next_tokens, next_decoder_states = prev_tokens, decoder_states
+    else:
+        tokens, lengths, next_tokens, next_decoder_states = transducer_decode.transducer_greedy_decode(
+            encoded.astype(jnp.float32),
+            encoded_length,
+            step_fn,
+            prev_tokens,
+            decoder_states,
+            blank=model.blank,
+            max_token_factor=max_token_factor,
+        )
+    return schemas.PredictOutput(
+        tokens=tokens,
+        next_tokens=next_tokens,
+        next_encoder_states=next_encoder_states,
+        next_decoder_states=next_decoder_states,
+    )
