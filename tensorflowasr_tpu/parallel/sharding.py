@@ -1,0 +1,62 @@
+"""SPMD sharding helpers: data-parallel mesh + named shardings.
+
+The TPU-native replacement for the reference's distribution strategies
+(``utils/env_util.py:57-98``, MirroredStrategy/TPUStrategy): a 1-D ``data``
+mesh, batches sharded along it, parameters replicated. Gradient all-reduce
+over ICI is emitted by XLA from the jit-compiled training step (GSPMD) —
+no explicit collectives needed for DP. Extra mesh axes ("model") are
+accepted for tensor-parallel extensions.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_data_parallel_mesh(devices: Optional[Sequence] = None, axis_name: str = "data") -> Mesh:
+    devices = np.array(devices if devices is not None else jax.devices())
+    return Mesh(devices, (axis_name,))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    """Fully-replicated sharding (parameters, optimizer state, scalars)."""
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dim across the data axis."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
+    """Place a host pytree batch onto the mesh, sharded along axis 0."""
+    sharding = batch_sharding(mesh, axis_name)
+
+    def put(x):
+        if x is None:
+            return None
+        if np.ndim(x) == 0:
+            return jax.device_put(x, replicate(mesh))
+        return jax.device_put(x, sharding)
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def pad_batch_to_devices(batch, n_devices: int):
+    """Pad the batch dim to a multiple of the mesh size (partial final batch)."""
+
+    def pad(x):
+        if x is None or np.ndim(x) == 0:
+            return x
+        b = x.shape[0]
+        target = -(-b // n_devices) * n_devices
+        if target == b:
+            return x
+        pads = [(0, target - b)] + [(0, 0)] * (np.ndim(x) - 1)
+        return np.pad(np.asarray(x), pads)
+
+    return jax.tree_util.tree_map(pad, batch)

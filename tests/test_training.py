@@ -1,0 +1,175 @@
+"""Training machinery tests: schedules, optimizers, DP train step, metrics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tensorflowasr_tpu import schemas
+from tensorflowasr_tpu.optimizers import build_optimizer, build_schedule
+from tensorflowasr_tpu.optimizers.schedules import TransformerSchedule
+from tensorflowasr_tpu.training import Trainer, TrainState, make_train_step
+from tensorflowasr_tpu.training.metrics import ErrorRateAccumulator, cer, evaluate_hypotheses, wer
+
+
+# ------------------------------- schedules ------------------------------------ #
+
+
+def test_transformer_schedule_shape():
+    sch = TransformerSchedule(dmodel=144, warmup_steps=100, scale=2.0, max_lr="0.05/(144**0.5)")
+    lrs = [float(sch(s)) for s in [1, 50, 100, 200, 10000]]
+    assert lrs[1] > lrs[0]  # warmup rising
+    assert lrs[4] < lrs[3]  # decay
+    assert max(lrs) <= 0.05 / (144**0.5) + 1e-9
+
+
+def test_build_schedule_variants():
+    assert build_schedule(1e-3) == 1e-3
+    sch = build_schedule({"class_name": "tensorflow_asr.optimizers.schedules>TransformerSchedule", "config": {"dmodel": 64}})
+    assert float(sch(10)) > 0
+
+
+# ------------------------------- optimizers ----------------------------------- #
+
+
+def test_build_optimizer_with_ga():
+    import optax
+
+    tx = build_optimizer({"class_name": "Adam", "config": {"learning_rate": 1e-3}}, ga_steps=4)
+    params = {"w": jnp.ones((3,))}
+    state = tx.init(params)
+    g = {"w": jnp.ones((3,))}
+    p = params
+    # first 3 updates are zero (accumulating), 4th applies
+    for i in range(4):
+        updates, state = tx.update(g, state, p)
+        p = optax.apply_updates(p, updates)
+        if i < 3:
+            np.testing.assert_allclose(np.asarray(p["w"]), 1.0)
+    assert np.abs(np.asarray(p["w"]) - 1.0).max() > 1e-5
+
+
+def test_gradient_noise_transform():
+    from tensorflowasr_tpu.optimizers.optimizers import gradient_noise
+
+    tx = gradient_noise(eta=1.0, start_step=0)
+    params = {"w": jnp.zeros((100,))}
+    state = tx.init(params)
+    updates, state = tx.update({"w": jnp.zeros((100,))}, state, params)
+    assert np.abs(np.asarray(updates["w"])).max() > 0  # noise added
+
+
+# ------------------------------ metrics --------------------------------------- #
+
+
+def test_wer_cer():
+    assert wer(["hello world"], ["hello world"]) == 0.0
+    assert wer(["a b c d"], ["a x c"]) == pytest.approx(2 / 4)  # 1 sub + 1 del
+    assert cer(["abc"], ["abc"]) == 0.0
+    assert cer(["abcd"], ["abxd"]) == pytest.approx(1 / 4)
+
+
+def test_error_rate_accumulator_streaming():
+    acc = ErrorRateAccumulator()
+    acc.update("a b c".split(), "a b c".split())
+    acc.update("a b".split(), "a x".split())
+    assert acc.error_rate == pytest.approx(1 / 5)
+
+
+def test_evaluate_hypotheses_report():
+    rep = evaluate_hypotheses([("the cat sat", "the cat sat"), ("a b", "a c")])
+    assert rep["wer"] == pytest.approx(1 / 5)
+    assert 0 <= rep["wip"] <= 1
+    assert rep["wil"] == pytest.approx(1 - rep["wip"])
+
+
+# ---------------------------- DP train step ----------------------------------- #
+
+
+@pytest.fixture(scope="module")
+def tiny_ctc_setup():
+    from tensorflowasr_tpu.models.ctc.deepspeech2 import DeepSpeech2
+
+    model = DeepSpeech2.from_config(
+        {
+            "speech_config": {"num_feature_bins": 20, "nfft": 256, "frame_ms": 25, "stride_ms": 10},
+            "conv_type": "conv2d",
+            "conv_kernels": [[3, 5]],
+            "conv_strides": [[2, 2]],
+            "conv_filters": [4],
+            "rnn_nlayers": 1,
+            "rnn_units": 8,
+            "rnn_bidirectional": True,
+            "vocab_size": 10,
+        }
+    )
+    rng = np.random.default_rng(0)
+    b = 8  # divisible by 8 devices
+    batch = schemas.TrainData(
+        inputs=schemas.TrainInput(
+            inputs=jnp.asarray(rng.standard_normal((b, 3200)), jnp.float32),
+            inputs_length=jnp.asarray([3200] * b),
+            predictions=jnp.zeros((b, 6), jnp.int32),
+            predictions_length=jnp.ones((b,), jnp.int32) * 6,
+        ),
+        labels=schemas.TrainLabel(
+            labels=jnp.asarray(rng.integers(1, 10, (b, 5)), jnp.int32),
+            labels_length=jnp.ones((b,), jnp.int32) * 5,
+        ),
+    )
+    return model, batch
+
+
+def test_trainer_dp_train_step_decreases_loss(tiny_ctc_setup):
+    model, batch = tiny_ctc_setup
+    tx = build_optimizer({"class_name": "Adam", "config": {"learning_rate": 5e-3}})
+    trainer = Trainer(model, tx)
+    assert trainer.mesh.shape["data"] == jax.device_count()
+    state = trainer.init_state(batch)
+    losses = []
+    for _ in range(5):
+        state, metrics = trainer.train_step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 5
+
+
+def test_trainer_gwn(tiny_ctc_setup):
+    model, batch = tiny_ctc_setup
+    tx = build_optimizer({"class_name": "Adam", "config": {"learning_rate": 1e-3}})
+    trainer = Trainer(model, tx, gwn_config={"step": 0, "stddev": 0.01})
+    state = trainer.init_state(batch)
+    state, metrics = trainer.train_step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_trainer_checkpoint_roundtrip(tiny_ctc_setup, tmp_path):
+    model, batch = tiny_ctc_setup
+    tx = build_optimizer({"class_name": "Adam", "config": {"learning_rate": 1e-3}})
+    trainer = Trainer(model, tx, checkpoint_dir=str(tmp_path / "ckpt"))
+    state = trainer.init_state(batch)
+    state, _ = trainer.train_step(state, batch)
+    trainer.save(state)
+
+    trainer2 = Trainer(model, tx, checkpoint_dir=str(tmp_path / "ckpt"))
+    state2 = trainer2.init_state(batch)
+    state2 = trainer2.restore(state2)
+    assert int(state2.step) == 1
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(state.params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(state2.params)[0]),
+    )
+
+
+def test_trainer_fit_with_callbacks(tiny_ctc_setup):
+    from tensorflowasr_tpu.training.callbacks import TerminateOnNaN, deserialize
+
+    model, batch = tiny_ctc_setup
+    tx = build_optimizer({"class_name": "Adam", "config": {"learning_rate": 1e-3}})
+    cbs = deserialize([{"class_name": "tensorflow_asr.callbacks>TerminateOnNaN", "config": {}}])
+    assert isinstance(cbs[0], TerminateOnNaN)
+    trainer = Trainer(model, tx, callbacks=cbs)
+    state = trainer.init_state(batch)
+    state = trainer.fit(state, [batch, batch], epochs=1, eval_data=[batch])
+    assert int(state.step) == 2
