@@ -57,3 +57,20 @@ class PredictOutputWithTranscript(typing.NamedTuple):
     next_tokens: Array
     next_encoder_states: typing.Optional[Array] = None
     next_decoder_states: typing.Optional[Array] = None
+
+
+def _register_export_serialization():
+    """Allow jax.export to serialize functions returning these pytrees."""
+    try:
+        from jax import export as jax_export
+
+        for cls in (TrainInput, TrainOutput, TrainLabel, TrainData, PredictInput, PredictOutput, PredictOutputWithTranscript):
+            try:
+                jax_export.register_namedtuple_serialization(cls, serialized_name=f"tensorflowasr_tpu.schemas.{cls.__name__}")
+            except ValueError:
+                pass  # already registered
+    except ImportError:
+        pass
+
+
+_register_export_serialization()

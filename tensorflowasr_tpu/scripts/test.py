@@ -1,0 +1,101 @@
+"""``test`` subcommand (reference ``scripts/test.py:28-90`` parity).
+
+Loads a checkpoint, runs greedy (+ optional beam) recognition over each test
+dataset, writes the prediction TSV, and prints the WER/CER/MER/WIL/WIP
+report.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import jax
+import numpy as np
+
+from tensorflowasr_tpu.scripts import common
+
+logger = logging.getLogger("tensorflowasr_tpu")
+
+
+def main(args):
+    from tensorflowasr_tpu import schemas
+    from tensorflowasr_tpu.training.callbacks import PredictLogger
+    from tensorflowasr_tpu.utils import app_util
+
+    config = common.load_config(args, training=False)
+    tokenizer = common.build_tokenizer(config)
+    model = common.build_model_from_config(config, tokenizer, mxp="none")
+
+    variables = _load_variables(model, tokenizer, args)
+
+    from tensorflowasr_tpu.models.ctc import base as ctc_base
+    from tensorflowasr_tpu.models.transducer import base as transducer_base
+
+    is_transducer = hasattr(model, "prediction_config")
+    rec = ctc_base.recognize if not is_transducer else transducer_base.recognize
+
+    data = common.build_datasets(config, tokenizer, args, stages=("test",))
+    for ds in data["test"]:
+        ds.indefinite = False
+        ds.drop_remainder = False
+        ds.read_entries()
+        plogger = PredictLogger(output=args.output)
+        paths = [e[0] for e in ds.entries]
+        i = 0
+        greedy_fn = jax.jit(lambda v, p: rec(model, v, p))
+        beam_fn = jax.jit(lambda v, p: rec(model, v, p, beam_width=args.beam_width)) if args.beam_width else None
+        for batch in ds.create(args.bs, prefetch=2):
+            pin = schemas.PredictInput(inputs=batch.inputs.inputs, inputs_length=batch.inputs.inputs_length)
+            out = greedy_fn(variables, pin)
+            tokens = np.asarray(out.tokens)
+            beam_tokens = np.asarray(beam_fn(variables, pin).tokens) if beam_fn else None
+            for b in range(tokens.shape[0]):
+                if i >= len(paths):
+                    break
+                truth = tokenizer.normalize_text(ds.entries[i][2], tokenizer.decoder_config)
+                greedy = tokenizer.detokenize(tokens[b])
+                beam = tokenizer.detokenize(beam_tokens[b]) if beam_tokens is not None else ""
+                plogger.add(paths[i], truth, greedy, beam)
+                i += 1
+        plogger.flush()
+        app_util.evaluate_hypotheses(args.output)
+    return 0
+
+
+def _load_variables(model, tokenizer, args):
+    import numpy as np
+
+    from tensorflowasr_tpu import schemas
+
+    rng = jax.random.PRNGKey(0)
+    dummy = schemas.TrainInput(
+        inputs=np.zeros((1, 16000), np.float32),
+        inputs_length=np.asarray([16000], np.int32),
+        predictions=np.zeros((1, 2), np.int32),
+        predictions_length=np.asarray([2], np.int32),
+    )
+    variables = model.init({"params": rng}, dummy, train=False)
+    ckpt = getattr(args, "checkpoint", None)
+    if ckpt:
+        import orbax.checkpoint as ocp
+
+        restored = ocp.StandardCheckpointer().restore(ckpt, jax.device_get(variables))
+        variables = restored
+        logger.info("restored variables from %s", ckpt)
+    else:
+        # try modeldir/checkpoints latest (TrainState layout)
+        import os
+
+        ckpt_dir = os.path.join(os.environ.get("TFASR_MODELDIR", "models"), "checkpoints")
+        if os.path.isdir(ckpt_dir):
+            import orbax.checkpoint as ocp
+
+            mgr = ocp.CheckpointManager(os.path.abspath(ckpt_dir))
+            step = mgr.latest_step()
+            if step is not None:
+                restored = mgr.restore(step)
+                variables = {"params": restored["params"]}
+                if restored.get("batch_stats"):
+                    variables["batch_stats"] = restored["batch_stats"]
+                logger.info("restored checkpoint step %s from %s", step, ckpt_dir)
+    return variables

@@ -1,0 +1,69 @@
+"""``train`` subcommand (reference ``scripts/train.py:29-115`` parity).
+
+Config → tokenizer → datasets (+ static global shapes from metadata) →
+model → optimizer (schedule/GA/gradn/gwn) → DP Trainer.fit with callbacks,
+checkpoint/resume under ``{{modeldir}}/checkpoints``.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+import jax
+
+from tensorflowasr_tpu.scripts import common
+
+logger = logging.getLogger("tensorflowasr_tpu")
+
+
+def main(args):
+    from tensorflowasr_tpu.data import datasets as ds_mod
+    from tensorflowasr_tpu.optimizers import build_optimizer
+    from tensorflowasr_tpu.training import Trainer
+    from tensorflowasr_tpu.training.callbacks import deserialize
+    from tensorflowasr_tpu.utils import env_util
+
+    env_util.setup_seed(42)
+    config = common.load_config(args, training=True)
+    tokenizer = common.build_tokenizer(config)
+    model = common.build_model_from_config(config, tokenizer, mxp=args.mxp)
+
+    data = common.build_datasets(config, tokenizer, args, stages=("train", "eval"))
+    train_ds, eval_ds = data["train"], data["eval"]
+    train_ds.load_metadata()
+    if not train_ds.max_input_length:
+        logger.info("computing dataset metadata (max lengths) ...")
+        train_ds.compute_metadata()
+
+    lc = config.learning_config
+    batch_size = args.bs or lc.batch_size
+    num_devices = jax.device_count()
+    shapes = ds_mod.get_global_shape(config, train_ds, batch_size=batch_size, num_devices=num_devices)
+    logger.info("global shapes: %s (%d devices)", shapes, num_devices)
+
+    tx = build_optimizer(lc.optimizer_config, ga_steps=lc.ga_steps, gradn_config=lc.gradn_config)
+    ckpt_dir = os.path.join(os.environ.get("TFASR_MODELDIR", "models"), "checkpoints")
+    trainer = Trainer(
+        model,
+        tx,
+        gwn_config=lc.gwn_config,
+        checkpoint_dir=ckpt_dir,
+        callbacks=deserialize(lc.callbacks),
+    )
+
+    train_iter = train_ds.create(shapes["batch_size"], shapes["padded_input_length"], shapes["padded_label_length"])
+    sample = next(iter(train_ds.create(shapes["batch_size"], shapes["padded_input_length"], shapes["padded_label_length"], prefetch=0)))
+    state = trainer.init_state(sample)
+    state = trainer.restore(state)
+
+    epochs = args.epochs or lc.num_epochs
+    steps_per_epoch = args.steps_per_epoch or (train_ds.num_entries // shapes["batch_size"] if train_ds.num_entries else None)
+    eval_iter = None
+    if eval_ds is not None:
+        eval_ds.load_metadata()
+        eval_ds.indefinite = False
+        eval_iter = list(eval_ds.create(shapes["batch_size"], shapes["padded_input_length"], shapes["padded_label_length"], prefetch=0))
+
+    trainer.fit(state, train_iter, epochs=epochs, steps_per_epoch=steps_per_epoch, eval_data=eval_iter)
+    return 0

@@ -1,0 +1,53 @@
+"""``utils`` subcommands: create_tfrecords, create_datasets_metadata
+(reference ``scripts/utils/``)."""
+
+from __future__ import annotations
+
+import logging
+
+from tensorflowasr_tpu.scripts import common
+
+logger = logging.getLogger("tensorflowasr_tpu")
+
+
+def main(args):
+    if args.util_command == "create_tfrecords":
+        return create_tfrecords(args)
+    if args.util_command == "create_datasets_metadata":
+        return create_datasets_metadata(args)
+    raise SystemExit(f"unknown utils command {args.util_command}")
+
+
+def create_tfrecords(args):
+    config = common.load_config(args, training=True)
+    tokenizer = common.build_tokenizer(config)
+    data = common.build_datasets(config, tokenizer, args, stages=("train", "eval", "test"))
+    for name, ds in data.items():
+        for d in ds if isinstance(ds, list) else ([ds] if ds else []):
+            if hasattr(d, "create_tfrecords"):
+                d.create_tfrecords()
+    return 0
+
+
+def create_datasets_metadata(args):
+    """Build the tokenizer vocabulary then compute/save dataset metadata
+    (reference ``scripts/utils/create_datasets_metadata.py``)."""
+    config = common.load_config(args, training=True)
+    from tensorflowasr_tpu import tokenizers as tok_mod
+    from tensorflowasr_tpu.data import datasets as ds_mod
+
+    tokenizer = tok_mod.get(config)
+    train_cfg = config.data_config.train_dataset_config
+    train_ds = ds_mod.get(tokenizer, train_cfg, args.dataset_type)
+    try:
+        tokenizer.make()
+    except FileNotFoundError:
+        logger.info("building tokenizer vocabulary ...")
+        tokenizer.build(train_ds)
+        tokenizer.make()
+    if train_cfg.metadata:
+        train_ds.save_metadata(train_cfg.metadata)
+        eval_cfg = config.data_config.eval_dataset_config
+        if eval_cfg.data_paths:
+            ds_mod.get(tokenizer, eval_cfg, args.dataset_type).save_metadata(eval_cfg.metadata or train_cfg.metadata)
+    return 0
