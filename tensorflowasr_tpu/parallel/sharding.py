@@ -33,8 +33,25 @@ def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
-    """Place a host pytree batch onto the mesh, sharded along axis 0."""
+    """Place a host pytree batch onto the mesh, sharded along axis 0.
+
+    Batches whose leading dim is not divisible by the mesh size fall back to
+    replicated placement (correct, just not parallel) with a warning.
+    """
     sharding = batch_sharding(mesh, axis_name)
+    n = mesh.shape[axis_name]
+    leaves = [x for x in jax.tree_util.tree_leaves(batch) if x is not None and np.ndim(x) > 0]
+    divisible = all(x.shape[0] % n == 0 for x in leaves)
+    if not divisible:
+        global _WARNED_INDIVISIBLE
+        if not _WARNED_INDIVISIBLE:
+            import logging
+
+            logging.getLogger("tensorflowasr_tpu").warning(
+                "batch size not divisible by %d devices — running replicated (slow); pad the batch for data parallelism", n
+            )
+            _WARNED_INDIVISIBLE = True
+        sharding = replicate(mesh)
 
     def put(x):
         if x is None:
@@ -44,6 +61,9 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
         return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map(put, batch)
+
+
+_WARNED_INDIVISIBLE = False
 
 
 def pad_batch_to_devices(batch, n_devices: int):
