@@ -52,6 +52,7 @@ class CtcModel(nn.Module):
         enc, elens, states = self.encoder(feats, flens, initial_state=initial_state, train=False)
         return self.vocab_head(enc), elens, states
 
+    @nn.nowrap
     def init_encoder_states(self, batch: int):
         return self.make_encoder().init_state(batch)
 

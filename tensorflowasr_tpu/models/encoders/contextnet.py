@@ -130,11 +130,13 @@ class ContextNetEncoder(nn.Module):
     def dmodel(self) -> int:
         return int(self.blocks[-1].get("filters", 256) * self.alpha)
 
+    @nn.nowrap
     def output_length(self, length):
         for b in self.blocks:
             length = math_util.conv_output_length(length, b.get("kernel_size", 3), padding=b.get("padding", "causal"), stride=b.get("strides", 1))
         return length
 
+    @nn.nowrap
     def init_state(self, batch: int):
         return None
 

@@ -90,6 +90,7 @@ class DeepSpeech2Encoder(nn.Module):
             out *= s[0] if isinstance(s, (list, tuple)) else s
         return out
 
+    @nn.nowrap
     def output_length(self, length):
         for i in range(len(self.conv_filters)):
             k = self.conv_kernels[i][0] if isinstance(self.conv_kernels[i], (list, tuple)) else self.conv_kernels[i]
@@ -103,6 +104,7 @@ class DeepSpeech2Encoder(nn.Module):
             for i in range(self.rnn_nlayers)
         ]
 
+    @nn.nowrap
     def init_state(self, batch: int):
         if self.rnn_bidirectional:
             return None

@@ -124,9 +124,11 @@ class JasperEncoder(nn.Module):
     def time_reduction_factor(self) -> int:
         return self.first_additional_block_strides * self.second_additional_block_strides * self.third_additional_block_strides
 
+    @nn.nowrap
     def output_length(self, length):
         return math_util.get_reduced_length(length, self.time_reduction_factor)
 
+    @nn.nowrap
     def init_state(self, batch: int):
         return None
 

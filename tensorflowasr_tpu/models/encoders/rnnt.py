@@ -69,6 +69,7 @@ class RnnTransducerEncoder(nn.Module):
             out *= max(f, 1)
         return out
 
+    @nn.nowrap
     def output_length(self, length):
         return math_util.get_reduced_length(length, self.time_reduction_factor)
 
@@ -89,6 +90,7 @@ class RnnTransducerEncoder(nn.Module):
             for i in range(self.nlayers)
         ]
 
+    @nn.nowrap
     def init_state(self, batch: int):
         def zeros_carry():
             if self.rnn_type == "lstm":

@@ -139,9 +139,11 @@ class TransformerEncoder(nn.Module):
     def time_reduction_factor(self) -> int:
         return build_subsampling(self.subsampling).time_reduction_factor
 
+    @nn.nowrap
     def output_length(self, length):
         return build_subsampling(self.subsampling).output_length(length)
 
+    @nn.nowrap
     def init_state(self, batch: int):
         if self.memory_length is None:
             return None

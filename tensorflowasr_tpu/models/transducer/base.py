@@ -205,6 +205,7 @@ class Transducer(nn.Module):
         logits = self.joint_net.step(enc_frame, pred)
         return logits, new_states
 
+    @nn.nowrap
     def init_decoder_states(self, batch: int):
         # derived from config (not setup fields) so it works on unbound modules
         rnn_type = self.prediction_config.get("rnn_type", "lstm")
@@ -220,9 +221,11 @@ class Transducer(nn.Module):
 
         return tuple(zeros_carry() for _ in range(num_rnns))
 
+    @nn.nowrap
     def init_encoder_states(self, batch: int):
         return self.make_encoder().init_state(batch)
 
+    @nn.nowrap
     def init_tokens(self, batch: int):
         return jnp.full((batch,), self.blank, jnp.int32)
 
