@@ -1,0 +1,221 @@
+"""Pallas CTC loss: single-kernel forward-backward on the extended lattice.
+
+Replaces the reference's external warp-ctc CUDA op and the pure-TF TPU
+implementation (``losses/impl/ctc_tpu.py``) with one TPU kernel per batch
+row: alpha/beta over the blank-interleaved state sequence live in VMEM,
+each time step is one vectorized row update over the S = 2U+1 states
+(lanes), and the state-occupancy gradients come out of the same kernel.
+
+Lattice recurrences (s indexes extended states b,y1,b,y2,...,b):
+  alpha[t, s] = lp[t, s] + LSE(alpha[t-1, s], alpha[t-1, s-1],
+                               alpha[t-1, s-2] + skip_ok[s])
+  beta[t, s]  = LSE(beta[t+1, s] + lp[t+1, s], beta[t+1, s+1] + lp[t+1, s+1],
+                    beta[t+1, s+2] + lp[t+1, s+2] + skip_ok[s+2])
+  ll = LSE(alpha[T-1, 2U], alpha[T-1, 2U-1])
+  dL/d lp[t, s] = -exp(alpha[t, s] + beta[t, s] - ll)
+
+The chain to dense logits gradients (softmax − occupancy) is a hand-written
+VJP with V-minor broadcast arithmetic (see rnnt_kernel.py for why).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tensorflowasr_tpu.utils.math_util import LOG_0, round_up
+
+NEG = float(LOG_0)
+
+
+def _lse3(a, b, c):
+    m = jnp.maximum(jnp.maximum(a, b), c)
+    return m + jnp.log(jnp.exp(a - m) + jnp.exp(b - m) + jnp.exp(c - m))
+
+
+def _ctc_kernel(
+    logit_len_ref,  # scalar prefetch [B]
+    label_len_ref,  # scalar prefetch [B]
+    lp_ref,  # [1, T, Sp] per-state log-probs
+    skip_ref,  # [1, 1, Sp] skip addend (0 allowed / NEG forbidden)
+    occ_ref,  # out [1, T+1, Sp]: -occupancy grads; row T col 0 stashes loss
+    alpha_ref,  # scratch [T, Sp]
+    beta_ref,  # scratch [T, Sp]
+):
+    b = pl.program_id(0)
+    t_len = logit_len_ref[b]
+    u_len = label_len_ref[b]
+    s_last = 2 * u_len  # index of the final blank state
+
+    t_total, sp = alpha_ref.shape
+    s_row = jax.lax.broadcasted_iota(jnp.int32, (1, sp), 1)
+    state_ok = s_row <= s_last
+    skip_row = skip_ref[0, 0:1, :]
+
+    def shift1(x):
+        y = pltpu.roll(x, 1, 1)
+        return jnp.where(s_row == 0, NEG, y)
+
+    def shift2(x):
+        y = pltpu.roll(x, 2, 1)
+        return jnp.where(s_row < 2, NEG, y)
+
+    # ------------------------------ forward ------------------------------- #
+    init = jnp.where(s_row < 2, lp_ref[0, 0:1, :], NEG)
+    alpha_ref[0:1, :] = jnp.where(state_ok, init, NEG)
+
+    def fwd_body(t, _):
+        a_prev = alpha_ref[pl.ds(t - 1, 1), :]
+        row = _lse3(a_prev, shift1(a_prev), shift2(a_prev) + skip_row) + lp_ref[0, pl.ds(t, 1), :]
+        row = jnp.where(state_ok, row, NEG)
+        # past the true length, carry alpha forward unchanged
+        row = jnp.where(t < t_len, row, a_prev)
+        alpha_ref[pl.ds(t, 1), :] = row
+        return 0
+
+    jax.lax.fori_loop(1, t_total, fwd_body, 0)
+
+    a_last = alpha_ref[pl.ds(t_len - 1, 1), :]
+    fin = jnp.where((s_row == s_last) | ((s_row == s_last - 1) & (s_last > 0)), a_last, NEG)
+    m = jnp.max(fin)
+    ll = m + jnp.log(jnp.sum(jnp.exp(fin - m)))
+
+    # ------------------------------ backward ------------------------------ #
+    def bwd_body(i, _):
+        t = t_total - 1 - i
+        is_last = t == t_len - 1
+        beyond = t > t_len - 1
+        b_next = beta_ref[pl.ds(jnp.minimum(t + 1, t_total - 1), 1), :]
+        lp_next = lp_ref[0, pl.ds(jnp.minimum(t + 1, t_total - 1), 1), :]
+        term0 = b_next + lp_next
+        # shift LEFT: state s reads s+1, s+2 of the next row
+        t1 = pltpu.roll(term0, sp - 1, 1)
+        t1 = jnp.where(s_row == sp - 1, NEG, t1)
+        t2 = pltpu.roll(term0, sp - 2, 1)
+        t2 = jnp.where(s_row >= sp - 2, NEG, t2)
+        skip2 = pltpu.roll(skip_row, sp - 2, 1)  # skip_ok at the TARGET state s+2
+        row = _lse3(term0, t1, t2 + skip2)
+        last_row = jnp.where((s_row == s_last) | ((s_row == s_last - 1) & (s_last > 0)), 0.0, NEG)
+        row = jnp.where(is_last, last_row, row)
+        row = jnp.where(beyond, NEG, row)
+        row = jnp.where(state_ok, row, NEG)
+        beta_ref[pl.ds(t, 1), :] = row
+        return 0
+
+    jax.lax.fori_loop(0, t_total, bwd_body, 0)
+
+    # ------------------------------ gradients ----------------------------- #
+    def grad_body(t, _):
+        occ = -jnp.exp(alpha_ref[pl.ds(t, 1), :] + beta_ref[pl.ds(t, 1), :] - ll)
+        occ = jnp.where(state_ok & (t < t_len), occ, 0.0)
+        occ_ref[0, pl.ds(t, 1), :] = occ
+        return 0
+
+    jax.lax.fori_loop(0, t_total, grad_body, 0)
+    occ_ref[0, pl.ds(t_total, 1), :] = jnp.where(s_row == 0, -ll, 0.0)
+
+
+def _ctc_pallas_call(lp_ext, skip_add, logit_length, label_length, interpret: bool):
+    batch, t_total, sp = lp_ext.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(batch,),
+        in_specs=[
+            pl.BlockSpec((1, t_total, sp), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec((1, 1, sp), lambda b, *_: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, t_total + 1, sp), lambda b, *_: (b, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((t_total, sp), jnp.float32),
+            pltpu.VMEM((t_total, sp), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        _ctc_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((batch, t_total + 1, sp), jnp.float32),
+        interpret=interpret,
+    )(jnp.asarray(logit_length, jnp.int32), jnp.asarray(label_length, jnp.int32), lp_ext, skip_add)
+
+
+def _prep(logits, labels, blank):
+    """logits [B,T,V], labels [B,U] → lp_ext [B,T,Sp], skip_add [B,1,Sp], lse."""
+    b, t, vocab = logits.shape
+    u = labels.shape[1]
+    s = 2 * u + 1
+    sp = round_up(s, 128)
+
+    lse = jax.nn.logsumexp(logits, axis=-1)  # [B,T]
+    # extended state labels: even → blank, odd s=2k+1 → labels[k]
+    onehot = jax.nn.one_hot(labels.astype(jnp.int32), vocab, dtype=logits.dtype)  # [B,U,V]
+    sel = jnp.sum(logits[:, :, None, :] * onehot[:, None, :, :], axis=-1)  # [B,T,U] label logits
+    lp_lab = sel - lse[:, :, None]
+    lp_blank = logits[..., blank] - lse  # [B,T]
+
+    lp_ext = jnp.full((b, t, sp), LOG_0, jnp.float32)
+    lp_ext = lp_ext.at[:, :, 0:s:2].set(lp_blank[:, :, None])
+    lp_ext = lp_ext.at[:, :, 1:s:2].set(lp_lab)
+
+    # skip allowed at odd states whose label differs from the previous label
+    prev_lab = jnp.pad(labels, ((0, 0), (1, 0)), constant_values=-1)[:, :-1]
+    allow = (labels != prev_lab) & (labels != blank)
+    skip_add = jnp.full((b, 1, sp), LOG_0, jnp.float32)
+    skip_add = skip_add.at[:, 0, 1:s:2].set(jnp.where(allow, 0.0, LOG_0))
+    return lp_ext, skip_add, lse, onehot
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def ctc_loss_pallas(logits, logit_length, labels, label_length, blank: int = 0, interpret: bool = False):
+    """Drop-in replacement for ``ops.ctc_loss.ctc_loss`` on the Pallas kernel."""
+    loss, _ = _ctc_fwd_impl(logits, logit_length, labels, label_length, blank, interpret)
+    return loss
+
+
+def _ctc_fwd_impl(logits, logit_length, labels, label_length, blank, interpret):
+    assert blank == 0
+    orig = logits
+    if logits.dtype in (jnp.float16, jnp.bfloat16):
+        logits = logits.astype(jnp.float32)
+    logit_length = jnp.maximum(jnp.asarray(logit_length, jnp.int32), jnp.asarray(label_length, jnp.int32))
+    lp_ext, skip_add, lse, onehot = _prep(logits, labels, blank)
+    occ = _ctc_pallas_call(lp_ext, skip_add, logit_length, label_length, interpret)
+    loss = occ[:, -1, 0]
+    return loss, (orig, lse, occ, onehot)
+
+
+def _ctc_fwd(logits, logit_length, labels, label_length, blank, interpret):
+    loss, res = _ctc_fwd_impl(logits, logit_length, labels, label_length, blank, interpret)
+    return loss, res
+
+
+def _ctc_bwd(blank, interpret, residuals, g):
+    logits, lse, occ, onehot = residuals
+    b, t, vocab = logits.shape
+    u = onehot.shape[1]
+    s = 2 * u + 1
+    logits32 = logits.astype(jnp.float32)
+    softmax = jnp.exp(logits32 - lse[..., None])  # [B,T,V]
+
+    g_blank = jnp.sum(occ[:, :t, 0:s:2], axis=-1)  # [B,T] total blank-state occupancy grad
+    g_lab = occ[:, :t, 1:s:2]  # [B,T,U]
+    gsum = g_blank + jnp.sum(g_lab, axis=-1)  # [B,T]
+
+    onehot_blank = jax.nn.one_hot(jnp.zeros((), jnp.int32), vocab, dtype=jnp.float32)  # [V]
+    d = (
+        g_blank[..., None] * onehot_blank[None, None, :]
+        + jnp.sum(g_lab[..., None] * onehot[:, None, :, :], axis=2)
+        - softmax * gsum[..., None]
+    )
+    d = d * g[:, None, None]
+    return d.astype(logits.dtype), None, None, None
+
+
+ctc_loss_pallas.defvjp(_ctc_fwd, _ctc_bwd)
+
+
+def ctc_loss_pallas_mean(logits, logit_length, labels, label_length, blank: int = 0, interpret: bool = False):
+    return jnp.mean(ctc_loss_pallas(logits, logit_length, labels, label_length, blank, interpret))

@@ -62,12 +62,14 @@ class TrainState:
 
 
 def _loss_for(model) -> Callable:
-    """Pick the objective by model family (CTC vs Transducer)."""
+    """Pick the objective by model family (CTC vs Transducer) and
+    implementation (XLA scan vs Pallas kernel, env TFASR_LOSS_IMPL)."""
     from tensorflowasr_tpu.models.transducer.base import Transducer
+    from tensorflowasr_tpu.ops.losses import get_ctc_loss_fn, get_rnnt_loss_fn
 
     if isinstance(model, Transducer):
-        return rnnt_loss_mean
-    return ctc_loss_mean
+        return get_rnnt_loss_fn()
+    return get_ctc_loss_fn()
 
 
 def _apply_gwn(params, rng, gwn_config: Optional[dict]):
