@@ -553,10 +553,17 @@ def write_flac(path: str, samples: np.ndarray, rate: int, bits_per_sample: int =
 
 
 def read_audio(path: str, sample_rate: Optional[int] = None, mono: bool = True) -> np.ndarray:
-    """Read WAV/FLAC → float32 [-1,1] mono at ``sample_rate`` (resampled)."""
+    """Read WAV/FLAC → float32 [-1,1] mono at ``sample_rate`` (resampled).
+
+    FLAC prefers the native C++ decoder (tensorflowasr_tpu.native) with the
+    pure-Python decoder as fallback.
+    """
     ext = os.path.splitext(path)[1].lower()
     if ext == ".flac":
-        x, rate = read_flac(path)
+        from tensorflowasr_tpu import native
+
+        result = native.read_flac_native(path)
+        x, rate = result if result is not None else read_flac(path)
     elif ext in (".wav", ".wave"):
         x, rate = read_wav(path)
     else:
