@@ -16,6 +16,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CONFIGS = sorted(glob.glob(os.path.join(REPO, "examples/models/**/*.yml.j2"), recursive=True))
 
 
+@pytest.fixture(autouse=True)
+def _clear_jax_caches():
+    # each config compiles a distinct large program; keep process memory flat
+    yield
+    jax.clear_caches()
+
+
 def test_found_all_families():
     names = "\n".join(CONFIGS)
     for frag in ["ctc/conformer", "ctc/deepspeech2", "ctc/jasper", "ctc/transformer", "transducer/conformer", "transducer/contextnet", "transducer/rnnt", "transducer/transformer"]:
