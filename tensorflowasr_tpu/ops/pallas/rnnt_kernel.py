@@ -267,6 +267,9 @@ def _rnnt_logits_fwd(logits, logit_length, labels, label_length, blank, interpre
 
 def _rnnt_logits_bwd(blank, interpret, residuals, g):
     logits, lse, gbl, gem, labels = residuals
+    # keep the dense-gradient assembly in its own fusion island: fusing it
+    # with the pallas-call producers crashes the TPU backend at large T/U
+    logits, lse, gbl, gem = jax.lax.optimization_barrier((logits, lse, gbl, gem))
     logits32 = logits.astype(jnp.float32)
     vocab = logits32.shape[-1]
     max_u = logits32.shape[2] - 1
