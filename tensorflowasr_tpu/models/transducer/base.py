@@ -233,7 +233,14 @@ class Transducer(nn.Module):
 # --------------------------- decode entry points --------------------------- #
 
 
-def recognize(model: Transducer, variables, inputs: schemas.PredictInput, beam_width: int = 0, max_token_factor: int = 2):
+def recognize(
+    model: Transducer,
+    variables,
+    inputs: schemas.PredictInput,
+    beam_width: int = 0,
+    max_token_factor: int = 2,
+    max_symbols_per_frame=None,
+):
     """Greedy (or beam when ``beam_width > 0``) decode of raw audio.
 
     Mirrors ``Transducer.recognize``/``recognize_batch``
@@ -270,6 +277,7 @@ def recognize(model: Transducer, variables, inputs: schemas.PredictInput, beam_w
             decoder_states,
             blank=model.blank,
             max_token_factor=max_token_factor,
+            max_symbols_per_frame=max_symbols_per_frame,
         )
     return schemas.PredictOutput(
         tokens=tokens,

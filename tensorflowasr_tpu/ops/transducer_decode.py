@@ -16,7 +16,7 @@ with the joint at a single frame.
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Tuple
+from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -28,6 +28,7 @@ class _GreedyLoopState(NamedTuple):
     decoder_states: tuple  # pytree of prediction-net states
     tokens: jax.Array  # [B, max_tokens] emitted tokens (blank padded)
     token_idx: jax.Array  # [B] write pointer into tokens (starts at 0)
+    frame_symbols: jax.Array  # [B] tokens emitted at the current frame
     step: jax.Array  # [] iteration counter
 
 
@@ -39,6 +40,7 @@ def transducer_greedy_decode(
     initial_states,
     blank: int = 0,
     max_token_factor: int = 2,
+    max_symbols_per_frame: Optional[int] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, tuple]:
     """Frame-synchronous greedy decode.
 
@@ -50,6 +52,9 @@ def transducer_greedy_decode(
     initial_tokens : [B] token fed at the start (blank, or carry-over when streaming)
     initial_states : prediction network states pytree (carried across chunks)
     max_token_factor : total token budget = factor · T + 1 (reference uses 2)
+    max_symbols_per_frame : optional cap on consecutive emissions per frame
+        (reference ``recognize_single`` uses 3, base_transducer.py:577); once
+        hit, the frame is force-advanced
 
     Returns
     -------
@@ -65,6 +70,7 @@ def transducer_greedy_decode(
         decoder_states=initial_states,
         tokens=jnp.full((batch, max_tokens), blank, jnp.int32),
         token_idx=jnp.zeros((batch,), jnp.int32),
+        frame_symbols=jnp.zeros((batch,), jnp.int32),
         step=jnp.asarray(0, jnp.int32),
     )
 
@@ -84,6 +90,8 @@ def transducer_greedy_decode(
 
         done = s.frame_idx >= nframes
         is_blank = (current == blank) | done | (s.token_idx >= max_tokens)
+        if max_symbols_per_frame is not None:
+            is_blank = is_blank | (s.frame_symbols >= max_symbols_per_frame)
 
         # emit non-blank tokens at token_idx (clamped); blanks write nowhere
         write_pos = jnp.where(is_blank, max_tokens, jnp.minimum(s.token_idx, max_tokens - 1))
@@ -91,6 +99,7 @@ def transducer_greedy_decode(
         token_idx = jnp.where(is_blank, s.token_idx, jnp.minimum(s.token_idx + 1, max_tokens))
 
         frame_idx = jnp.where(is_blank, s.frame_idx + 1, s.frame_idx)
+        frame_symbols = jnp.where(is_blank, 0, s.frame_symbols + 1)
         prev_tokens = jnp.where(is_blank, s.prev_tokens, current)
 
         # only advance decoder state where a token was emitted
@@ -99,7 +108,7 @@ def transducer_greedy_decode(
             return jnp.where(mask, old, new)
 
         decoder_states = jax.tree_util.tree_map(merge, new_states, s.decoder_states)
-        return _GreedyLoopState(frame_idx, prev_tokens, decoder_states, tokens, token_idx, s.step + 1)
+        return _GreedyLoopState(frame_idx, prev_tokens, decoder_states, tokens, token_idx, frame_symbols, s.step + 1)
 
     final = jax.lax.while_loop(cond, body, init)
     return final.tokens, final.token_idx, final.prev_tokens, final.decoder_states

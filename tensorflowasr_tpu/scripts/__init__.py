@@ -59,6 +59,9 @@ def main(argv=None):
     _add_common(p_tfr)
     p_meta = usub.add_parser("create_datasets_metadata")
     _add_common(p_meta)
+    p_mls = usub.add_parser("create_mls_trans")
+    p_mls.add_argument("--split-dir", required=True)
+    p_mls.add_argument("--output", default=None)
 
     args = parser.parse_args(argv)
 

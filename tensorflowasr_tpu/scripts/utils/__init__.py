@@ -15,6 +15,11 @@ def main(args):
         return create_tfrecords(args)
     if args.util_command == "create_datasets_metadata":
         return create_datasets_metadata(args)
+    if args.util_command == "create_mls_trans":
+        from tensorflowasr_tpu.scripts.utils.create_mls_trans import convert_split
+
+        print(convert_split(args.split_dir, args.output))
+        return 0
     raise SystemExit(f"unknown utils command {args.util_command}")
 
 

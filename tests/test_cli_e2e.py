@@ -145,3 +145,19 @@ def test_cli_export_stablehlo(workspace):
     fn = load_stablehlo(out)
     tokens = fn(np.zeros((1, 16000), np.float32), np.asarray([16000], np.int32))
     assert tokens is not None
+
+
+def test_cli_mls_trans(tmp_path):
+    from tensorflowasr_tpu.data import audio as audio_lib
+    from tensorflowasr_tpu.scripts.utils.create_mls_trans import convert_split
+
+    split = tmp_path / "train"
+    (split / "audio" / "1001" / "22").mkdir(parents=True)
+    sig = np.zeros(1600, np.float32)
+    audio_lib.write_flac(str(split / "audio" / "1001" / "22" / "1001_22_000000.flac"), sig, 16000)
+    (split / "transcripts.txt").write_text("1001_22_000000\thello mls\n")
+    out = convert_split(str(split))
+    lines = open(out).read().splitlines()
+    assert lines[0] == "PATH\tDURATION\tTRANSCRIPT"
+    assert lines[1].endswith("hello mls")
+    assert "0.100" in lines[1]

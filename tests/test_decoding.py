@@ -163,3 +163,21 @@ def test_transducer_beam_matches_greedy_on_peaked():
     )
     assert int(bl[0]) == int(gl[0])
     np.testing.assert_array_equal(np.asarray(bt[0, : int(bl[0])]), np.asarray(gt[0, : int(gl[0])]))
+
+
+def test_transducer_greedy_max_symbols_per_frame():
+    vocab = 4
+    # frame 0 always wants token 1, never suppressed → without a cap the
+    # decoder would burn the whole token budget on frame 0
+    enc = np.zeros((1, 3, vocab), np.float32)
+    enc[0, :, 1] = 10.0
+
+    def step_fn(enc_frame, prev_tokens, states):
+        return enc_frame, states
+
+    states = (jnp.zeros((1, 2)),)
+    tokens, lengths, _, _ = transducer_decode.transducer_greedy_decode(
+        jnp.asarray(enc), jnp.asarray([3]), step_fn, jnp.zeros((1,), jnp.int32), states, max_symbols_per_frame=2
+    )
+    # 2 symbols per frame × 3 frames
+    assert int(lengths[0]) == 6
