@@ -57,14 +57,24 @@ class CtcModel(nn.Module):
         return self.make_encoder().init_state(batch)
 
 
-def recognize(model: CtcModel, variables, inputs: schemas.PredictInput, beam_width: int = 0):
-    """Greedy (or beam) CTC decode of raw audio, with streaming state carry."""
+def recognize(model: CtcModel, variables, inputs: schemas.PredictInput, beam_width: int = 0, lm=None, lm_weight: float = 0.5):
+    """Greedy (or beam) CTC decode of raw audio, with streaming state carry.
+
+    ``lm`` is an optional ``tensorflowasr_tpu.lm.NGramLM`` for shallow-fusion
+    beam scoring (the ctc_decoders/KenLM replacement)."""
     logits, logits_length, next_encoder_states = model.apply(
         variables, inputs.inputs, inputs.inputs_length, initial_state=inputs.previous_encoder_states, method=model.encode
     )
     logits = logits.astype(jnp.float32)
     if beam_width and beam_width > 0:
-        tokens, lengths = ctc_decode.ctc_beam_search_decode(logits, logits_length, beam_width=beam_width, blank=model.blank)
+        tokens, lengths = ctc_decode.ctc_beam_search_decode(
+            logits,
+            logits_length,
+            beam_width=beam_width,
+            blank=model.blank,
+            lm_score_fn=lm.beam_score_fn() if lm is not None else None,
+            lm_weight=lm_weight if lm is not None else 0.0,
+        )
     else:
         tokens, lengths = ctc_decode.ctc_greedy_decode(logits, logits_length, blank=model.blank)
     batch = tokens.shape[0]
