@@ -65,7 +65,6 @@ def recognize(model: CtcModel, variables, inputs: schemas.PredictInput, beam_wid
     logits, logits_length, next_encoder_states = model.apply(
         variables, inputs.inputs, inputs.inputs_length, initial_state=inputs.previous_encoder_states, method=model.encode
     )
-    logits = logits.astype(jnp.float32)
     if beam_width and beam_width > 0:
         tokens, lengths = ctc_decode.ctc_beam_search_decode(
             logits,
