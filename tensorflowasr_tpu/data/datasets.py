@@ -166,14 +166,35 @@ class ASRDataset:
             "predictions_length": np.int32(len(predictions)),
         }
 
-    def examples(self) -> Iterator[dict]:
+    def examples(self, num_workers: int = 0) -> Iterator[dict]:
         self.read_entries()
         while True:
             entries = list(self.entries)
             if self.shuffle:
                 random.shuffle(entries)
-            for path, _, transcript in entries:
-                yield self.parse(path, transcript)
+            if num_workers > 1:
+                # decode audio in a thread pool with a bounded look-ahead
+                # window, preserving order (the replacement for tf.data's
+                # parallel map; audio decode is the input-pipeline hot path)
+                from collections import deque
+                from concurrent.futures import ThreadPoolExecutor
+
+                window = num_workers * 4
+                with ThreadPoolExecutor(max_workers=num_workers) as pool:
+                    pending: deque = deque()
+                    it = iter(entries)
+                    for path, _, transcript in it:
+                        pending.append(pool.submit(self.parse, path, transcript))
+                        if len(pending) >= window:
+                            break
+                    for path, _, transcript in it:
+                        yield pending.popleft().result()
+                        pending.append(pool.submit(self.parse, path, transcript))
+                    while pending:
+                        yield pending.popleft().result()
+            else:
+                for path, _, transcript in entries:
+                    yield self.parse(path, transcript)
             if not self.indefinite:
                 return
 
@@ -185,6 +206,7 @@ class ASRDataset:
         padded_input_length: Optional[int] = None,
         padded_label_length: Optional[int] = None,
         prefetch: int = 2,
+        num_workers: int = 4,
     ) -> Iterator[schemas.TrainData]:
         """Batched iterator with static padded shapes (TPU requirement)."""
         in_len = padded_input_length or self.max_input_length or None
@@ -192,7 +214,7 @@ class ASRDataset:
 
         def batches():
             buf = []
-            for ex in self.examples():
+            for ex in self.examples(num_workers=num_workers):
                 buf.append(ex)
                 if len(buf) == batch_size:
                     yield self._collate(buf, in_len, lb_len)
@@ -302,9 +324,9 @@ class ASRTFRecordDataset(ASRDataset):
             logger.info("wrote %d examples to %s", n, self._shard_path(sid))
         return True
 
-    def examples(self) -> Iterator[dict]:
+    def examples(self, num_workers: int = 0) -> Iterator[dict]:
         if not self.tfrecords_dir or not any(os.path.exists(self._shard_path(i)) for i in range(self.tfrecords_shards)):
-            yield from super().examples()
+            yield from super().examples(num_workers=num_workers)
             return
         import io
 

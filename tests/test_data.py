@@ -206,3 +206,12 @@ def test_get_global_shape(manifest):
     shapes = datasets.get_global_shape(cfg, ds, num_devices=2)
     assert shapes["batch_size"] == 8
     assert shapes["padded_input_length"] == 6400
+
+
+def test_dataset_parallel_workers(manifest):
+    tok, mpath, _ = manifest
+    ds = datasets.ASRSliceDataset(tokenizer=tok, stage="train", data_paths=[mpath], indefinite=False)
+    ds.compute_metadata()
+    serial = [tok.detokenize(e["labels"]) for e in ds.examples(num_workers=0)]
+    parallel = [tok.detokenize(e["labels"]) for e in ds.examples(num_workers=4)]
+    assert serial == parallel  # order preserved
