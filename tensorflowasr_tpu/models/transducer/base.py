@@ -205,6 +205,14 @@ class Transducer(nn.Module):
         logits = self.joint_net.step(enc_frame, pred)
         return logits, new_states
 
+    def pred_step(self, prev_tokens: jax.Array, states):
+        """Prediction-network single step (WIND decode path)."""
+        return self.predict_net.step(prev_tokens, states)
+
+    def joint_window(self, enc_window: jax.Array, pred_out: jax.Array) -> jax.Array:
+        """Joint over a window of frames: ([B, K, E], [B, P]) → [B, K, V]."""
+        return self.joint_net(enc_window, pred_out[:, None, :])[:, :, 0, :]
+
     @nn.nowrap
     def init_decoder_states(self, batch: int):
         # derived from config (not setup fields) so it works on unbound modules
@@ -240,11 +248,16 @@ def recognize(
     beam_width: int = 0,
     max_token_factor: int = 2,
     max_symbols_per_frame=None,
+    decode_mode: str = "wind",
+    window: int = 16,
 ):
     """Greedy (or beam when ``beam_width > 0``) decode of raw audio.
 
     Mirrors ``Transducer.recognize``/``recognize_batch``
     (base_transducer.py:474-575) incl. carried streaming states.
+    ``decode_mode``: "wind" (windowed non-blank detection, exact and faster —
+    the default) or "sync" (frame-synchronous reference loop). ``wind``
+    falls back to sync when ``max_symbols_per_frame`` is set.
     """
     encoded, encoded_length, next_encoder_states = model.apply(
         variables, inputs.inputs, inputs.inputs_length, initial_state=inputs.previous_encoder_states, method=model.encode
@@ -268,6 +281,24 @@ def recognize(
             encoded, encoded_length, step_fn, prev_tokens, decoder_states, beam_width=beam_width, blank=model.blank
         )
         next_tokens, next_decoder_states = prev_tokens, decoder_states
+    elif decode_mode == "wind" and max_symbols_per_frame is None:
+        def pred_step_fn(tok, states):
+            return model.apply(variables, tok, states, method=model.pred_step)
+
+        def joint_window_fn(enc_win, pred_out):
+            return model.apply(variables, enc_win, pred_out, method=model.joint_window)
+
+        tokens, lengths, next_tokens, next_decoder_states = transducer_decode.transducer_greedy_decode_wind(
+            encoded,
+            encoded_length,
+            pred_step_fn,
+            joint_window_fn,
+            prev_tokens,
+            decoder_states,
+            blank=model.blank,
+            window=window,
+            max_token_factor=max_token_factor,
+        )
     else:
         # decode in the model's native dtype (bf16 on TPU): 1.4x faster loop
         tokens, lengths, next_tokens, next_decoder_states = transducer_decode.transducer_greedy_decode(

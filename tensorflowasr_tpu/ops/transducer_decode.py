@@ -235,3 +235,102 @@ def transducer_beam_search_decode(
     tokens = jnp.take_along_axis(state.tokens, best[:, None, None], axis=1)[:, 0]
     lengths = jnp.take_along_axis(state.lengths, best[:, None], axis=1)[:, 0]
     return tokens, lengths
+
+
+class _WindLoopState(NamedTuple):
+    frame_idx: jax.Array  # [B]
+    prev_tokens: jax.Array  # [B]
+    decoder_states: tuple
+    pred_out: jax.Array  # [B, P] cached prediction-net output
+    tokens: jax.Array  # [B, max_tokens]
+    token_idx: jax.Array  # [B]
+    step: jax.Array
+
+
+def transducer_greedy_decode_wind(
+    encoded: jax.Array,
+    encoded_length: jax.Array,
+    pred_step_fn: Callable,
+    joint_window_fn: Callable,
+    initial_tokens: jax.Array,
+    initial_states,
+    blank: int = 0,
+    window: int = 16,
+    max_token_factor: int = 2,
+) -> Tuple[jax.Array, jax.Array, jax.Array, tuple]:
+    """WIND-accelerated greedy decode (Windowed Inference for Non-blank
+    Detection, PAPERS.md arXiv:2505.13765) — EXACTLY equivalent to
+    frame-synchronous greedy, but each loop iteration evaluates the joint for
+    a ``window`` of frames under the cached prediction state and jumps
+    straight to the first non-blank frame. Sequential steps drop from
+    O(T + emissions) to O(T/window + emissions), and the per-step joint
+    becomes a [window, V] matmul that actually feeds the MXU.
+
+    pred_step_fn : (prev_tokens [B], states) → (pred_out [B, P], states)
+    joint_window_fn : (enc_window [B, K, E], pred_out [B, P]) → logits [B, K, V]
+    """
+    batch, max_frames, enc_dim = encoded.shape
+    k = min(window, max_frames)
+    max_tokens = max_token_factor * max_frames + 1
+    nframes = jnp.asarray(encoded_length, jnp.int32)
+
+    pred0, states0 = pred_step_fn(jnp.asarray(initial_tokens, jnp.int32), initial_states)
+    init = _WindLoopState(
+        frame_idx=jnp.zeros((batch,), jnp.int32),
+        prev_tokens=jnp.asarray(initial_tokens, jnp.int32),
+        decoder_states=states0,
+        pred_out=pred0,
+        tokens=jnp.full((batch, max_tokens), blank, jnp.int32),
+        token_idx=jnp.zeros((batch,), jnp.int32),
+        step=jnp.asarray(0, jnp.int32),
+    )
+
+    def cond(s: _WindLoopState):
+        return jnp.any(s.frame_idx < nframes) & jnp.any(s.token_idx < max_tokens) & (
+            s.step < (max_token_factor + 1) * max_frames + 1
+        )
+
+    def body(s: _WindLoopState):
+        start = jnp.minimum(s.frame_idx, jnp.maximum(max_frames - k, 0))  # [B]
+        # gather the window [B, K, E] starting at each example's pointer
+        offs = start[:, None] + jnp.arange(k)[None, :]  # [B, K]
+        offs_safe = jnp.minimum(offs, max_frames - 1)
+        enc_win = jnp.take_along_axis(encoded, offs_safe[:, :, None], axis=1)  # [B, K, E]
+
+        logits = joint_window_fn(enc_win, s.pred_out)  # [B, K, V]
+        ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, K]
+        frame_valid = (offs >= s.frame_idx[:, None]) & (offs < nframes[:, None])
+        # budget-exhausted examples treat everything as blank (reference
+        # semantics: ignore + advance), so they drain their frames
+        nonblank = (ids != blank) & frame_valid & (s.token_idx < max_tokens)[:, None]
+        # first non-blank position in the window (k if none)
+        first = jnp.argmax(nonblank, axis=1)
+        any_nb = jnp.any(nonblank, axis=1)
+        first = jnp.where(any_nb, first, k)
+
+        # frames consumed: up to the first non-blank (exclusive); the window
+        # may start before frame_idx when clamped near the end — advance
+        # relative to the true pointer
+        emit_frame = start + first  # [B] absolute frame of emission (if any)
+        advance_to = jnp.where(any_nb, emit_frame, jnp.minimum(start + k, nframes))
+        advance_to = jnp.maximum(advance_to, s.frame_idx)  # never move back
+
+        done = s.frame_idx >= nframes
+        emits = any_nb & ~done & (s.token_idx < max_tokens)
+
+        tok = jnp.take_along_axis(ids, jnp.minimum(first, k - 1)[:, None], axis=1)[:, 0]
+        write_pos = jnp.where(emits, jnp.minimum(s.token_idx, max_tokens - 1), max_tokens)
+        tokens = s.tokens.at[jnp.arange(batch), write_pos].set(jnp.where(emits, tok, blank), mode="drop")
+        token_idx = jnp.where(emits, jnp.minimum(s.token_idx + 1, max_tokens), s.token_idx)
+        prev_tokens = jnp.where(emits, tok, s.prev_tokens)
+        frame_idx = jnp.where(done, s.frame_idx, advance_to)
+
+        # prediction-net step only where a token was emitted
+        new_pred, new_states = pred_step_fn(prev_tokens, s.decoder_states)
+        sel = lambda new, old: jnp.where(emits.reshape((batch,) + (1,) * (new.ndim - 1)), new, old)
+        pred_out = sel(new_pred, s.pred_out)
+        decoder_states = jax.tree_util.tree_map(sel, new_states, s.decoder_states)
+        return _WindLoopState(frame_idx, prev_tokens, decoder_states, pred_out, tokens, token_idx, s.step + 1)
+
+    final = jax.lax.while_loop(cond, body, init)
+    return final.tokens, final.token_idx, final.prev_tokens, final.decoder_states

@@ -147,3 +147,15 @@ def test_conformer_ctc_from_config():
     vars_ = model.init({"params": jax.random.PRNGKey(0)}, ti, train=False)
     out = model.apply(vars_, ti, train=False)
     assert out.logits.shape == (2, 5, 15)
+
+
+def test_wind_decode_matches_frame_synchronous(conformer_and_vars):
+    from tensorflowasr_tpu.models.transducer import base as transducer_base
+
+    model, vars_, ti = conformer_and_vars
+    pin = schemas.PredictInput(inputs=ti.inputs, inputs_length=ti.inputs_length)
+    out_sync = transducer_base.recognize(model, vars_, pin, decode_mode="sync")
+    for window in (1, 4, 16):
+        out_wind = transducer_base.recognize(model, vars_, pin, decode_mode="wind", window=window)
+        np.testing.assert_array_equal(np.asarray(out_wind.tokens), np.asarray(out_sync.tokens))
+        np.testing.assert_array_equal(np.asarray(out_wind.next_tokens), np.asarray(out_sync.next_tokens))
