@@ -85,7 +85,20 @@ class FeatureExtraction(nn.Module):
         if train and aug.signal_augmentations:
             signals, signals_length = aug.signal_augment(signals, signals_length, k_sig)
 
-        features, features_length = frontend.extract_features(signals, signals_length, cfg)
+        import os
+
+        if (
+            os.environ.get("TFASR_FRONTEND_IMPL", "xla") == "pallas"
+            and cfg.feature_type == "log_mel_spectrogram"
+            and not cfg.use_librosa_like_stft
+            and not (cfg.normalize_signal or cfg.normalize_zscore or cfg.normalize_min_max or cfg.preemphasis)
+        ):
+            from tensorflowasr_tpu.ops.pallas.frontend_kernel import log_mel_spectrogram_pallas
+
+            features = log_mel_spectrogram_pallas(signals, cfg)
+            features_length = cfg.get_nframes(jnp.asarray(signals_length, jnp.int32))
+        else:
+            features, features_length = frontend.extract_features(signals, signals_length, cfg)
 
         if train and aug.feature_augmentations:
             features, features_length = aug.feature_augment(features, features_length, k_feat)

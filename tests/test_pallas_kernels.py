@@ -97,3 +97,27 @@ def test_loss_dispatch_env(monkeypatch):
     monkeypatch.setenv("TFASR_LOSS_IMPL", "pallas")
     assert losses.get_ctc_loss_fn().__name__ == "ctc_loss_pallas_mean"
     assert losses.get_rnnt_loss_fn().__name__ == "rnnt_loss_pallas_mean"
+
+
+def test_frontend_pallas_matches_xla(rng):
+    from tensorflowasr_tpu.ops import frontend
+    from tensorflowasr_tpu.ops.pallas.frontend_kernel import log_mel_spectrogram_pallas
+
+    cfg = frontend.FrontendConfig()
+    sig = jnp.asarray(rng.standard_normal((2, 16000)) * 0.3, jnp.float32)
+    ref = frontend.log_mel_spectrogram(sig, cfg)
+    pal = log_mel_spectrogram_pallas(sig, cfg, interpret=True)
+    assert pal.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(pal), np.asarray(ref), atol=1e-3)
+
+
+def test_frontend_pallas_partial_frame_padding(rng):
+    from tensorflowasr_tpu.ops import frontend
+    from tensorflowasr_tpu.ops.pallas.frontend_kernel import log_mel_spectrogram_pallas
+
+    cfg = frontend.FrontendConfig()
+    sig = jnp.asarray(rng.standard_normal((1, 16123)) * 0.3, jnp.float32)  # non-multiple of step
+    ref = frontend.log_mel_spectrogram(sig, cfg)
+    pal = log_mel_spectrogram_pallas(sig, cfg, interpret=True)
+    assert pal.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(pal), np.asarray(ref), atol=1e-3)
