@@ -114,41 +114,73 @@ def gammatone_fft_weights(
 ) -> np.ndarray:
     """ERB-space gammatone filterbank applied in the FFT domain.
 
-    Functional equivalent of reference ``features/gammatone.fft_weights``
-    (features/gammatone.py:28) — 4th-order gammatone magnitude response
-    sampled at FFT bin frequencies, rows ordered low→high frequency.
-    Returns float32 [nfft//2 + 1, num_bins].
+    Exact Patterson-Holdsworth/Slaney filterbank (Apple TR #35; the math the
+    reference ``features/gammatone.fft_weights`` implements, features/
+    gammatone.py:28): 4th-order gammatone magnitude response at FFT bin
+    frequencies built from the ERB filter coefficients, normalized by the
+    analytic filter gain. Returns float32 [maxlen(=nfft//2+1), num_bins]
+    with columns ordered low→high center frequency.
     """
-    ear_q = 9.26449
+    ear_q = 9.26449  # Glasberg & Moore
     min_bw = 24.7
-    order = 1.0
 
     if maxlen is None:
         maxlen = nfft // 2 + 1
     maxlen = int(maxlen)
+    n_bins = nfft // 2 + 1
 
-    cf = _erb_space(float(fmin), float(fmax), num_bins)  # high→low order
-    erb = width * ((cf / ear_q) ** order + min_bw**order) ** (1.0 / order)
+    cf = _erb_space(float(fmin), float(fmax), num_bins)[::-1]  # low→high
+    t = 1.0 / sample_rate
+    erb = width * ((cf / ear_q) + min_bw)
     b = 1.019 * 2.0 * np.pi * erb
 
-    n_bins = nfft // 2 + 1
-    ucirc_f = np.arange(n_bins) * sample_rate / nfft  # bin center freqs
-    # complex frequency response of 4th-order gammatone at each bin
-    t = 1.0 / sample_rate
-    z = np.exp(1j * 2.0 * np.pi * ucirc_f * t)[None, :]  # [1, S]
-    cf_c = cf[:, None]
-    b_c = b[:, None]
+    arg = 2.0 * cf * np.pi * t
+    vec = np.exp(2j * arg)
 
-    pole = np.exp(-b_c * t) * np.exp(1j * 2.0 * np.pi * cf_c * t)
-    # gain-normalized 4th order all-pole magnitude response
-    resp = np.abs((1.0 - pole * np.conj(z)) * (1.0 - pole * z)) ** -4.0
-    # normalize each filter to unit peak
-    resp = resp / np.max(resp, axis=1, keepdims=True)
-    weights = resp[:, :maxlen]
-    if maxlen < n_bins:
-        weights = np.pad(weights, [[0, 0], [0, n_bins - maxlen]])
-    # low→high ordering to match mel convention
-    return np.ascontiguousarray(weights[::-1].T).astype(np.float32)
+    a0 = t
+    a2 = 0.0
+    b0 = 1.0
+    b1 = -2.0 * np.cos(arg) / np.exp(b * t)
+    b2 = np.exp(-2.0 * b * t)
+
+    rt_pos = np.sqrt(3.0 + 2.0**1.5)
+    rt_neg = np.sqrt(3.0 - 2.0**1.5)
+
+    common = -t * np.exp(-b * t)
+    k11 = np.cos(arg) + rt_pos * np.sin(arg)
+    k12 = np.cos(arg) - rt_pos * np.sin(arg)
+    k13 = np.cos(arg) + rt_neg * np.sin(arg)
+    k14 = np.cos(arg) - rt_neg * np.sin(arg)
+
+    a11 = common * k11
+    a12 = common * k12
+    a13 = common * k13
+    a14 = common * k14
+
+    exp_bt = np.exp(b * t)
+    gain_num = (
+        (-2.0 * vec * t + 2.0 * np.exp(1j * arg) / exp_bt * t * k12)
+        * (-2.0 * vec * t + 2.0 * np.exp(1j * arg) / exp_bt * t * k11)
+        * (-2.0 * vec * t + 2.0 * np.exp(1j * arg) / exp_bt * t * k14)
+        * (-2.0 * vec * t + 2.0 * np.exp(1j * arg) / exp_bt * t * k13)
+    )
+    gain_den = (-2.0 / np.exp(2.0 * b * t) - 2.0 * vec + 2.0 * (1.0 + vec) / exp_bt) ** 4
+    gain = np.abs(gain_num / gain_den)
+
+    ucirc = np.exp(1j * 2.0 * np.pi * np.arange(n_bins) / nfft)[None, :]  # [1, S]
+    pole = (np.sqrt(b2) * np.exp(1j * arg))[:, None]
+
+    weights = (
+        np.abs(ucirc + a11[:, None] * sample_rate)
+        * np.abs(ucirc + a12[:, None] * sample_rate)
+        * np.abs(ucirc + a13[:, None] * sample_rate)
+        * np.abs(ucirc + a14[:, None] * sample_rate)
+        * np.abs(sample_rate * (pole - ucirc) * (np.conj(pole) - ucirc)) ** (-4.0)
+        / gain[:, None]
+    )
+    del a0, a2, b0, b1  # (documented coefficients of the TR#35 filter stages)
+    weights = weights[:, :maxlen]
+    return np.ascontiguousarray(weights.T).astype(np.float32)
 
 
 # --------------------------------- dct / mfcc --------------------------------- #

@@ -1,5 +1,7 @@
 """Frontend golden tests vs tf.signal (TF used for test oracles only)."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -116,3 +118,36 @@ def test_bfloat16_input(audio):
     feats, _ = frontend.extract_features(jnp.asarray(audio, jnp.bfloat16), jnp.asarray([32000]), CFG)
     assert feats.dtype == jnp.bfloat16
     assert np.isfinite(np.asarray(feats, np.float32)).all()
+
+
+@pytest.mark.skipif(not os.path.exists("/root/reference/tensorflow_asr/features/gammatone.py"), reason="reference unavailable")
+def test_gammatone_matches_reference_module():
+    """Load the reference gammatone module standalone (stub harness) and
+    compare filterbanks — ours implements the same Slaney TR#35 math."""
+    import importlib.util
+    import sys
+    import types
+
+    import tensorflow as tf_real
+
+    stub = types.ModuleType("tensorflow_asr")
+    stub.tf = tf_real
+    shape_stub = types.ModuleType("tensorflow_asr.utils.shape_util")
+    shape_stub.shape_list = lambda x, out_type=None: x.shape.as_list()
+    utils_stub = types.ModuleType("tensorflow_asr.utils")
+    utils_stub.shape_util = shape_stub
+    saved = {k: sys.modules.get(k) for k in ("tensorflow_asr", "tensorflow_asr.utils", "tensorflow_asr.utils.shape_util")}
+    sys.modules.update({"tensorflow_asr": stub, "tensorflow_asr.utils": utils_stub, "tensorflow_asr.utils.shape_util": shape_stub})
+    try:
+        spec = importlib.util.spec_from_file_location("ref_gammatone", "/root/reference/tensorflow_asr/features/gammatone.py")
+        ref = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ref)
+        theirs = ref.fft_weights(512, 16000, 80, width=1.0, fmin=0, fmax=8000, maxlen=257).numpy()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+    ours = frontend.gammatone_fft_weights(512, 16000, 80, width=1.0, fmin=0.0, fmax=8000.0, maxlen=257)
+    np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=1e-3)
