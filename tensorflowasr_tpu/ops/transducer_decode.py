@@ -223,7 +223,7 @@ def transducer_beam_search_decode(
             new_open = jnp.take_along_axis(open_mask, parent, axis=1) & emitted
             # frames past the end never change state
             keep = lambda n, o: jnp.where(active_frame.reshape((batch, 1) + (1,) * (n.ndim - 2)), n, o)
-            merged = _BeamState(*(jax.tree_util.tree_map(keep, n, o) for n, o in zip(nxt, state if False else st)))
+            merged = _BeamState(*(jax.tree_util.tree_map(keep, n, o) for n, o in zip(nxt, st)))
             return (merged, new_open & active_frame), None
 
         open0 = jnp.ones((batch, w), bool) & active_frame

@@ -52,8 +52,11 @@ def main(args):
         callbacks=deserialize(lc.callbacks),
     )
 
+    import itertools
+
     train_iter = train_ds.create(shapes["batch_size"], shapes["padded_input_length"], shapes["padded_label_length"])
-    sample = next(iter(train_ds.create(shapes["batch_size"], shapes["padded_input_length"], shapes["padded_label_length"], prefetch=0)))
+    sample = next(train_iter)
+    train_iter = itertools.chain([sample], train_iter)  # don't drop the peeked batch
     state = trainer.init_state(sample)
     state = trainer.restore(state)
 

@@ -182,19 +182,12 @@ class Trainer:
                 options=ocp.CheckpointManagerOptions(max_to_keep=keep_checkpoints, create=True),
             )
 
-        rep = replicate(self.mesh)
-        bsh = batch_sharding(self.mesh)
-
-        def batch_shardings(proto):
-            return jax.tree_util.tree_map(lambda _: bsh, proto)
-
         self._train_step = jax.jit(
             make_train_step(model, self.tx, gwn_config),
             donate_argnums=(0,),
         )
         self._eval_step = jax.jit(make_eval_step(model))
-        self._rep = rep
-        self._bsh = bsh
+        self._rep = replicate(self.mesh)
 
     # ------------------------------ state mgmt ------------------------------ #
 
