@@ -75,10 +75,13 @@ class WordPieceTokenizer(Tokenizer):
     def detokenize(self, indices) -> str:
         indices = self.normalize_indices(indices)
         ids = [int(i) for i in np.asarray(indices).reshape(-1) if int(i) != self.blank]
-        text = self._hf.decode(ids, skip_special_tokens=True)
         if self.decoder_config.keep_whitespace:
-            # tokens already carry whitespace; HF decode inserts none extra
-            text = text.replace(" ", "") if False else text
+            # whitespace is its own token: concatenate pieces directly (the
+            # HF decoder would insert extra separators between words)
+            pieces = [self.tokens[i] for i in ids if 0 <= i < self.num_classes]
+            text = "".join(p[2:] if p.startswith("##") else p for p in pieces if p not in (PAD, UNK))
+        else:
+            text = self._hf.decode(ids, skip_special_tokens=True)
         return text.strip()
 
     def _token_text_for_upoints(self, index: int) -> str:

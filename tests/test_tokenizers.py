@@ -118,3 +118,13 @@ def test_wordpiece_upoints(tmp_path):
     pts = tok.detokenize_unicode_points(ids)
     text = "".join(chr(c) for c in pts.reshape(-1) if c != 0).strip()
     assert text == "hello world"
+
+
+def test_wordpiece_keep_whitespace_roundtrip(tmp_path):
+    dc = DecoderConfig({"type": "wordpiece", "vocab_size": 150, "keep_whitespace": True, "vocabulary": str(tmp_path / "wpk.json")})
+    tok = tokenizers.get(dc)
+    tok.build(FakeDataset(CORPUS))
+    ids = tok.tokenize("hello world")
+    assert tok.detokenize(ids) == "hello world"
+    pts = tok.detokenize_unicode_points(ids)
+    assert "".join(chr(c) for c in pts.reshape(-1) if c != 0).strip() == "hello world"
