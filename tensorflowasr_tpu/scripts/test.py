@@ -28,35 +28,16 @@ def main(args):
 
     variables = _load_variables(model, tokenizer, args)
 
-    from tensorflowasr_tpu.models.ctc import base as ctc_base
-    from tensorflowasr_tpu.models.transducer import base as transducer_base
-
-    is_transducer = hasattr(model, "prediction_config")
-    rec = ctc_base.recognize if not is_transducer else transducer_base.recognize
+    from tensorflowasr_tpu.training.evaluation import evaluate_dataset
 
     data = common.build_datasets(config, tokenizer, args, stages=("test",))
     for ds in data["test"]:
-        ds.indefinite = False
-        ds.drop_remainder = False
-        ds.read_entries()
+        report = evaluate_dataset(
+            model, variables, ds, tokenizer, batch_size=args.bs, beam_width=args.beam_width, collect_rows=True
+        )
         plogger = PredictLogger(output=args.output)
-        paths = [e[0] for e in ds.entries]
-        i = 0
-        greedy_fn = jax.jit(lambda v, p: rec(model, v, p))
-        beam_fn = jax.jit(lambda v, p: rec(model, v, p, beam_width=args.beam_width)) if args.beam_width else None
-        for batch in ds.create(args.bs, prefetch=2):
-            pin = schemas.PredictInput(inputs=batch.inputs.inputs, inputs_length=batch.inputs.inputs_length)
-            out = greedy_fn(variables, pin)
-            tokens = np.asarray(out.tokens)
-            beam_tokens = np.asarray(beam_fn(variables, pin).tokens) if beam_fn else None
-            for b in range(tokens.shape[0]):
-                if i >= len(paths):
-                    break
-                truth = tokenizer.normalize_text(ds.entries[i][2], tokenizer.decoder_config)
-                greedy = tokenizer.detokenize(tokens[b])
-                beam = tokenizer.detokenize(beam_tokens[b]) if beam_tokens is not None else ""
-                plogger.add(paths[i], truth, greedy, beam)
-                i += 1
+        for row in report["rows"]:
+            plogger.add(*row)
         plogger.flush()
         app_util.evaluate_hypotheses(args.output)
     return 0

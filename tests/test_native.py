@@ -38,3 +38,17 @@ def test_read_audio_prefers_native(tmp_path, monkeypatch):
     x = audio.read_audio(p)
     assert x.shape == (8000,)
     assert np.isfinite(x).all()
+
+
+def test_stereo_flac_both_decoders(tmp_path):
+    rng = np.random.default_rng(0)
+    sig = np.stack(
+        [0.4 * np.sin(2 * np.pi * 440 * np.arange(8000) / 16000), (rng.standard_normal(8000) * 0.2).clip(-1, 1)], axis=1
+    ).astype(np.float32)
+    p = str(tmp_path / "st.flac")
+    audio.write_flac(p, sig, 16000)
+    expected = (np.clip(np.round(sig * 32768), -32768, 32767) / 32768.0).astype(np.float32)
+    xp, _ = audio.read_flac(p)
+    np.testing.assert_array_equal(xp, expected)
+    xn, _ = native.read_flac_native(p)
+    np.testing.assert_array_equal(xn, expected)

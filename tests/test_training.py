@@ -173,3 +173,52 @@ def test_trainer_fit_with_callbacks(tiny_ctc_setup):
     state = trainer.init_state(batch)
     state = trainer.fit(state, [batch, batch], epochs=1, eval_data=[batch])
     assert int(state.step) == 2
+
+
+def test_evaluate_dataset_wer(tmp_path):
+    """End-to-end evaluation helper: overfit a tiny model then evaluate WER=0."""
+    from tensorflowasr_tpu.configs import DecoderConfig
+    from tensorflowasr_tpu.data import audio, datasets
+    from tensorflowasr_tpu.models.ctc.deepspeech2 import DeepSpeech2
+    from tensorflowasr_tpu.tokenizers import CharTokenizer
+    from tensorflowasr_tpu.training.evaluation import evaluate_dataset
+
+    tok = CharTokenizer(DecoderConfig({"type": "characters"}))
+    tok.make()
+    texts = ["ab cd", "ef gh"]
+    rows = []
+    for i, text in enumerate(texts):
+        n = 6400
+        sig = (0.4 * np.sin(2 * np.pi * (250 + 90 * i) * np.arange(n) / 16000)).astype(np.float32)
+        p = str(tmp_path / f"{i}.wav")
+        audio.write_wav(p, sig, 16000)
+        rows.append(f"{p}\t{n / 16000.0}\t{text}")
+    mpath = tmp_path / "train.tsv"
+    mpath.write_text("PATH\tDURATION\tTRANSCRIPT\n" + "\n".join(rows) + "\n")
+
+    ds = datasets.ASRSliceDataset(tokenizer=tok, stage="train", data_paths=[str(mpath)], indefinite=False)
+    ds.compute_metadata()
+    batch = next(ds.create(2, prefetch=0))
+
+    model = DeepSpeech2.from_config(
+        {
+            "speech_config": {"num_feature_bins": 40, "nfft": 512},
+            "conv_type": "conv2d",
+            "conv_kernels": [[3, 5]],
+            "conv_strides": [[2, 2]],
+            "conv_filters": [8],
+            "rnn_nlayers": 1,
+            "rnn_units": 64,
+            "rnn_bidirectional": True,
+            "vocab_size": tok.num_classes,
+        }
+    )
+    tx = build_optimizer({"class_name": "Adam", "config": {"learning_rate": 3e-3}})
+    trainer = Trainer(model, tx)
+    state = trainer.init_state(batch)
+    for _ in range(250):
+        state, _ = trainer.train_step(state, batch)
+
+    report = evaluate_dataset(model, state.variables(), ds, tok, batch_size=2, collect_rows=True)
+    assert report["greedy"]["wer"] == 0.0, report
+    assert len(report["rows"]) == 2
