@@ -132,3 +132,51 @@ def test_transducer_streaming_recognize_carries_state():
     m = min(len(tokens_all), len(full_tokens))
     agree = sum(a == b for a, b in zip(tokens_all[:m], full_tokens[:m])) / max(m, 1)
     assert agree > 0.9, f"chunked/full token agreement too low: {agree}"
+
+
+def test_attention_memory_exactly_equals_chunked_mask():
+    """Chunk-by-chunk MHA with KV memory == full pass with the streaming
+    chunk mask (the core streaming-attention contract)."""
+    from tensorflowasr_tpu.models.layers.attention import MultiHeadAttention
+
+    T, D, CH, MEM = 16, 16, 4, 8
+    m = MultiHeadAttention(num_heads=2, key_dim=8, output_dim=D, chunk_size=CH, history_size=MEM)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((1, T, D)), jnp.float32)
+    mask = jnp.ones((1, T), bool)
+    v = m.init(jax.random.PRNGKey(0), x, x, query_mask=mask, kv_mask=mask, use_causal_mask=True)
+    full, _ = m.apply(v, x, x, query_mask=mask, kv_mask=mask, use_causal_mask=True)
+
+    m2 = MultiHeadAttention(num_heads=2, key_dim=8, output_dim=D, memory_length=MEM)
+    mem = m2.init_memory(1, D)
+    outs = []
+    for i in range(T // CH):
+        chunk = x[:, i * CH : (i + 1) * CH]
+        cm = jnp.ones((1, CH), bool)
+        out, mem = m2.apply({"params": v["params"]}, chunk, chunk, query_mask=cm, kv_mask=cm, memory_state=mem, use_causal_mask=True)
+        outs.append(out)
+    stitched = jnp.concatenate(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(stitched), np.asarray(full), atol=1e-5)
+
+
+def test_streaming_conformer_first_chunk_exact():
+    """The first chunk of a memory-carried streaming Conformer matches the
+    full pass exactly (zero-memory init + masks line up); later chunks are
+    approximate at conv boundaries — inherent to the causal-conv streaming
+    design (same as the reference's)."""
+    from tensorflowasr_tpu.models.encoders.conformer import ConformerEncoder
+
+    sub = {
+        "class_name": "Conv2dSubsampling",
+        "config": {"filters": [8, 8], "kernels": [3, 3], "strides": [2, 2], "paddings": ["causal", "causal"], "norms": ["none", "none"], "activations": ["swish", "swish"]},
+    }
+    enc = ConformerEncoder(
+        subsampling=sub, dmodel=16, num_blocks=2, head_size=4, num_heads=2, kernel_size=3,
+        memory_length=8, chunk_size=4, history_size=8, mhsam_causal=True, convm_dw_norm_type="layer", dropout=0.0,
+    )
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.standard_normal((1, 64, 20)), jnp.float32)
+    st0 = enc.init_state(1)
+    vars_ = enc.init({"params": jax.random.PRNGKey(0)}, feats, jnp.asarray([64]), initial_state=st0, train=False)
+    full, _, _ = enc.apply(vars_, feats, jnp.asarray([64]), initial_state=st0, train=False)
+    chunk0, _, _ = enc.apply(vars_, feats[:, :16], jnp.asarray([16]), initial_state=st0, train=False)
+    np.testing.assert_allclose(np.asarray(chunk0), np.asarray(full[:, :4]), atol=1e-5)
