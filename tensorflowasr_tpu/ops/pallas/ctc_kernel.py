@@ -176,6 +176,7 @@ def ctc_loss_pallas(logits, logit_length, labels, label_length, blank: int = 0, 
 
 
 def _ctc_fwd_impl(logits, logit_length, labels, label_length, blank, interpret):
+    interpret = interpret or jax.default_backend() == "cpu"  # Pallas TPU kernels need interpret mode off-TPU
     assert blank == 0
     orig = logits
     if logits.dtype in (jnp.float16, jnp.bfloat16):

@@ -72,6 +72,7 @@ def log_mel_spectrogram_pallas(
     pad_end framing parity with ``frontend.stft_magnitude_squared``.
     """
     assert not config.use_librosa_like_stft, "librosa-style framing not fused yet"
+    interpret = interpret or jax.default_backend() == "cpu"  # Pallas TPU kernels need interpret mode off-TPU
     b, n = signal.shape
     fl, fs, nfft = config.frame_length, config.frame_step, config.fft_length
     fl_pad = round_up(fl, 128)

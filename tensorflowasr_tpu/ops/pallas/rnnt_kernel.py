@@ -190,6 +190,7 @@ def rnnt_loss_from_logprobs(lp_blank, lp_emit, logit_length, label_length, inter
 
 
 def _rnnt_forward(lp_blank, lp_emit, logit_length, label_length, interpret):
+    interpret = interpret or jax.default_backend() == "cpu"  # Pallas TPU kernels need interpret mode off-TPU
     b, t, u1 = lp_blank.shape
     d_total = t + u1  # diagonals 0..T-1+U, plus the seed row at d_final+1
     bl_skew = _skew(lp_blank.astype(jnp.float32), d_total)

@@ -11,6 +11,10 @@ been initialized yet.
 
 import os
 
+# CPU suite uses the XLA-scan losses (fast); the Pallas kernels have their
+# own interpret-mode golden tests in test_pallas_kernels.py
+os.environ.setdefault("TFASR_LOSS_IMPL", "xla")
+
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = _flags + " --xla_force_host_platform_device_count=8"

@@ -94,9 +94,17 @@ def test_loss_dispatch_env(monkeypatch):
 
     monkeypatch.setenv("TFASR_LOSS_IMPL", "xla")
     assert losses.get_ctc_loss_fn().__name__ == "ctc_loss_mean"
+    assert losses.get_rnnt_loss_fn().__name__ == "rnnt_loss_mean"
     monkeypatch.setenv("TFASR_LOSS_IMPL", "pallas")
     assert losses.get_ctc_loss_fn().__name__ == "ctc_loss_pallas_mean"
     assert losses.get_rnnt_loss_fn().__name__ == "rnnt_loss_pallas_mean"
+    monkeypatch.setenv("TFASR_LOSS_IMPL", "auto")
+    assert losses.get_rnnt_loss_fn().__name__ == "rnnt_loss_auto_mean"
+    # shape guard: B4/T400/U200 (u1p 256) is the unsafe region
+    assert not losses._rnnt_pallas_safe(jnp.zeros((4, 400, 201, 8)))
+    assert losses._rnnt_pallas_safe(jnp.zeros((2, 400, 201, 8)))
+    assert losses._rnnt_pallas_safe(jnp.zeros((8, 400, 101, 8)))
+    assert losses._rnnt_pallas_safe(jnp.zeros((8, 200, 129, 8)))
 
 
 def test_frontend_pallas_matches_xla(rng):
