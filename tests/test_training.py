@@ -222,3 +222,27 @@ def test_evaluate_dataset_wer(tmp_path):
     report = evaluate_dataset(model, state.variables(), ds, tok, batch_size=2, collect_rows=True)
     assert report["greedy"]["wer"] == 0.0, report
     assert len(report["rows"]) == 2
+
+
+def test_edit_distance_on_device():
+    from tensorflowasr_tpu.ops.edit_distance import edit_distance, wer_on_device
+
+    def brute(a, b):
+        prev = list(range(len(a) + 1))
+        for i, y in enumerate(b):
+            cur = [i + 1]
+            for j, x in enumerate(a):
+                cur.append(min(prev[j + 1] + 1, cur[-1] + 1, prev[j] + (x != y)))
+            prev = cur
+        return prev[-1]
+
+    rng = np.random.default_rng(0)
+    refs = rng.integers(1, 5, (16, 8)).astype(np.int32)
+    hyps = rng.integers(1, 5, (16, 9)).astype(np.int32)
+    rl = rng.integers(0, 9, 16).astype(np.int32)
+    hl = rng.integers(0, 10, 16).astype(np.int32)
+    got = np.asarray(jax.jit(edit_distance)(jnp.asarray(refs), jnp.asarray(rl), jnp.asarray(hyps), jnp.asarray(hl)))
+    for b in range(16):
+        assert got[b] == brute(list(refs[b, : rl[b]]), list(hyps[b, : hl[b]]))
+    num, den = wer_on_device(jnp.asarray(refs), jnp.asarray(rl), jnp.asarray(hyps), jnp.asarray(hl))
+    assert int(den) == rl.sum()
