@@ -31,6 +31,7 @@ def main(argv=None):
     p_train.add_argument("--epochs", type=int, default=None)
     p_train.add_argument("--steps-per-epoch", type=int, default=None)
     p_train.add_argument("--mxp", default="strict", choices=["strict", "auto", "none"])
+    p_train.add_argument("--profile", default=None, help="write a jax.profiler trace of the first steps to this dir")
 
     p_test = sub.add_parser("test", help="evaluate WER/CER on test datasets")
     _add_common(p_test)
@@ -52,6 +53,7 @@ def main(argv=None):
         p_exp.add_argument("--bs", type=int, default=1)
         p_exp.add_argument("--beam-width", type=int, default=0)
         p_exp.add_argument("--checkpoint", default=None)
+        p_exp.add_argument("--streaming", action="store_true", help="export with carried state inputs (chunked inference)")
 
     p_utils = sub.add_parser("utils", help="dataset utilities")
     usub = p_utils.add_subparsers(dest="util_command", required=True)

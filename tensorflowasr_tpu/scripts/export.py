@@ -27,7 +27,16 @@ def main(args):
 
     fn = export_mod.make_inference_fn(model, variables, tokenizer=tokenizer, beam_width=args.beam_width)
     nsamples = 16000  # 1s signature; exported fn is shape-polymorphic per re-export
-    example = (np.zeros((args.bs, nsamples), np.float32), np.full((args.bs,), nsamples, np.int32))
+    example = [np.zeros((args.bs, nsamples), np.float32), np.full((args.bs,), nsamples, np.int32)]
+    if getattr(args, "streaming", False):
+        import jax.numpy as jnp
+
+        is_transducer = hasattr(model, "prediction_config")
+        prev_tokens = np.zeros((args.bs,), np.int32)
+        enc_states = model.init_encoder_states(args.bs)
+        dec_states = model.init_decoder_states(args.bs) if is_transducer else None
+        example = [example[0], example[1], prev_tokens, enc_states, dec_states]
+    example = tuple(example)
 
     if args.format == "tflite":
         ok = export_mod.convert_tflite(fn, example, args.output)

@@ -60,6 +60,17 @@ def main(args):
     state = trainer.init_state(sample)
     state = trainer.restore(state)
 
+    if getattr(args, "profile", None):
+        # profile the steady-state steps right after compilation
+        from jax import profiler as jax_profiler
+
+        state, _ = trainer.train_step(state, sample)  # compile outside the trace
+        jax_profiler.start_trace(args.profile)
+        for _ in range(5):
+            state, _ = trainer.train_step(state, sample)
+        jax_profiler.stop_trace()
+        logger.info("wrote profiler trace to %s", args.profile)
+
     epochs = args.epochs or lc.num_epochs
     steps_per_epoch = args.steps_per_epoch or (train_ds.num_entries // shapes["batch_size"] if train_ds.num_entries else None)
     eval_iter = None
