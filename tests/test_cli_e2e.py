@@ -189,3 +189,20 @@ def test_cli_train_tfrecord_pipeline(workspace):
     # and a second batch cycles through shards fine
     b2 = next(it)
     assert b2.inputs.inputs.shape == b.inputs.inputs.shape
+
+
+def test_cli_export_streaming_signature(workspace):
+    from tensorflowasr_tpu.scripts import main
+
+    out = os.path.join(workspace["modeldir"], "model_streaming.stablehlo")
+    rc = main(
+        [
+            "export",
+            "--config-path", workspace["config"],
+            "--datadir", workspace["datadir"],
+            "--modeldir", workspace["modeldir"],
+            "--output", out,
+            "--streaming",
+        ]
+    )
+    assert rc == 0 and os.path.getsize(out) > 1000
