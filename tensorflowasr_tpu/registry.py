@@ -42,31 +42,39 @@ def register(name: str | None = None, aliases: tuple[str, ...] = ()) -> Callable
     return deco
 
 
-def _normalize(class_name: str) -> list[str]:
+def _qualified(class_name: str) -> list[str]:
+    """Module-qualified lookup keys (never ambiguous)."""
     candidates = [class_name]
     if ">" in class_name:
         mod, cls = class_name.split(">", 1)
-        candidates.append(cls)
         # Accept reference-style module paths: tensorflow_asr.models.x>Y
-        mod2 = mod.replace("tensorflow_asr", "tensorflowasr_tpu")
-        candidates.append(f"{mod2}>{cls}")
-        candidates.append(f"{mod2.replace('.models.', '.models.')}>{cls}")
+        candidates.append(f"{mod.replace('tensorflow_asr', 'tensorflowasr_tpu')}>{cls}")
     return candidates
 
 
 def get(class_name: str) -> Any:
-    for cand in _normalize(class_name):
+    """Resolve a class name, preferring module-qualified matches.
+
+    Qualified `module>Class` strings must resolve exactly (the bare class
+    name can be ambiguous — e.g. both ctc and transducer register a
+    "Conformer"), so auto-import runs BEFORE any bare-name fallback.
+    """
+    for cand in _qualified(class_name):
         if cand in _REGISTRY:
             return _REGISTRY[cand]
-    # Lazy: import model modules then retry.
+    # Lazy: import model modules then retry the qualified names.
     for m in _AUTO_IMPORT:
         try:
             importlib.import_module(m)
         except ImportError:
             continue
-    for cand in _normalize(class_name):
+    for cand in _qualified(class_name):
         if cand in _REGISTRY:
             return _REGISTRY[cand]
+    # Bare class name fallback (unambiguous user-registered classes).
+    bare = class_name.split(">")[-1]
+    if bare in _REGISTRY:
+        return _REGISTRY[bare]
     raise KeyError(f"Unknown class_name {class_name!r}. Registered: {sorted(k for k in _REGISTRY if '>' not in k)}")
 
 
