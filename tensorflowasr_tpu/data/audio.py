@@ -28,6 +28,10 @@ def read_wav(path: str) -> tuple[np.ndarray, int]:
     """Returns (float32 samples [-1,1], shape [N] mono or [N, C]), rate."""
     with open(path, "rb") as f:
         data = f.read()
+    return _parse_wav(data, path)
+
+
+def _parse_wav(data: bytes, path: str = "<bytes>") -> tuple[np.ndarray, int]:
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError(f"not a WAV file: {path}")
     pos = 12
@@ -69,23 +73,32 @@ def read_wav(path: str) -> tuple[np.ndarray, int]:
     return x, rate
 
 
-def write_wav(path: str, samples: np.ndarray, rate: int) -> None:
-    """Write float32 [-1,1] (mono [N] or [N,C]) as PCM16 WAV."""
+def wav_bytes(samples: np.ndarray, rate: int) -> bytes:
+    """Encode float32 [-1,1] (mono [N] or [N,C]) as PCM16 WAV bytes."""
     x = np.asarray(samples)
-    if x.ndim == 1:
-        channels = 1
-    else:
-        channels = x.shape[1]
+    channels = 1 if x.ndim == 1 else x.shape[1]
     pcm = np.clip(np.round(x * 32767.0), -32768, 32767).astype("<i2").tobytes()
     byte_rate = rate * channels * 2
+    header = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(pcm))
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, channels, rate, byte_rate, channels * 2, 16)
+        + b"data"
+        + struct.pack("<I", len(pcm))
+    )
+    return header + pcm
+
+
+def read_wav_bytes(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode WAV bytes (see read_wav)."""
+    return _parse_wav(data)
+
+
+def write_wav(path: str, samples: np.ndarray, rate: int) -> None:
+    """Write float32 [-1,1] (mono [N] or [N,C]) as PCM16 WAV."""
     with open(path, "wb") as f:
-        f.write(b"RIFF")
-        f.write(struct.pack("<I", 36 + len(pcm)))
-        f.write(b"WAVEfmt ")
-        f.write(struct.pack("<IHHIIHH", 16, 1, channels, rate, byte_rate, channels * 2, 16))
-        f.write(b"data")
-        f.write(struct.pack("<I", len(pcm)))
-        f.write(pcm)
+        f.write(wav_bytes(samples, rate))
 
 
 # ----------------------------------- FLAC ----------------------------------- #

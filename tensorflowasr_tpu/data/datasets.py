@@ -302,23 +302,13 @@ class ASRTFRecordDataset(ASRDataset):
         shards = [[] for _ in range(self.tfrecords_shards)]
         for i, (path, _, transcript) in enumerate(self.entries):
             shards[i % self.tfrecords_shards].append((path, transcript))
-        import io
-
         for sid, items in enumerate(shards):
             def records():
                 for path, transcript in items:
                     signal = self._load_audio(path)
-                    buf = io.BytesIO()
                     # embed as wav bytes for self-describing shards
-                    tmp = buf
-                    import tempfile
-
-                    with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as tf_:
-                        audio_lib.write_wav(tf_.name, signal, self.sample_rate)
-                        with open(tf_.name, "rb") as f:
-                            wav_bytes = f.read()
-                        os.unlink(tf_.name)
-                    yield tfrecord.encode_example({"path": path, "audio": wav_bytes, "transcript": transcript})
+                    wav = audio_lib.wav_bytes(signal, self.sample_rate)
+                    yield tfrecord.encode_example({"path": path, "audio": wav, "transcript": transcript})
 
             n = tfrecord.write_records(self._shard_path(sid), records(), compression=self.compression)
             logger.info("wrote %d examples to %s", n, self._shard_path(sid))
@@ -328,8 +318,6 @@ class ASRTFRecordDataset(ASRDataset):
         if not self.tfrecords_dir or not any(os.path.exists(self._shard_path(i)) for i in range(self.tfrecords_shards)):
             yield from super().examples(num_workers=num_workers)
             return
-        import io
-
         while True:
             shard_ids = list(range(self.tfrecords_shards))
             if self.shuffle:
@@ -340,13 +328,11 @@ class ASRTFRecordDataset(ASRDataset):
                     continue
                 for rec in tfrecord.read_records(p, compression=self.compression):
                     ex = tfrecord.decode_example(rec)
-                    import tempfile
-
-                    with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as tf_:
-                        tf_.write(ex["audio"])
-                        tf_.flush()
-                        signal = audio_lib.read_audio(tf_.name, sample_rate=self.sample_rate)
-                    os.unlink(tf_.name)
+                    signal, rate = audio_lib.read_wav_bytes(ex["audio"])
+                    if signal.ndim > 1:
+                        signal = signal.mean(axis=1)
+                    if rate != self.sample_rate:
+                        signal = audio_lib.resample(signal, rate, self.sample_rate)
                     transcript = ex["transcript"].decode("utf-8")
                     labels = self.tokenizer.tokenize(transcript)
                     predictions = self.tokenizer.prepand_blank(labels)
