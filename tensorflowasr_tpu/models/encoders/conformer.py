@@ -244,7 +244,6 @@ class ConformerBlock(nn.Module):
         self,
         x: jax.Array,
         relpe: jax.Array,
-        *,
         mask: Optional[jax.Array] = None,
         content_attention_bias=None,
         positional_attention_bias=None,
@@ -394,7 +393,9 @@ class ConformerEncoder(nn.Module):
 
         block_cls = ConformerBlock
         if self.use_remat:
-            block_cls = nn.remat(ConformerBlock, static_argnums=(), prevent_cse=False)
+            # args: (self=0, x=1, relpe=2, mask=3, cbias=4, pbias=5,
+            #        memory_state=6, use_causal_mask=7, train=8)
+            block_cls = nn.remat(ConformerBlock, static_argnums=(7, 8), prevent_cse=False)
 
         new_states = []
         for i in range(self.num_blocks):
@@ -426,12 +427,12 @@ class ConformerEncoder(nn.Module):
             )(
                 x,
                 relpe,
-                mask=mask,
-                content_attention_bias=content_bias,
-                positional_attention_bias=positional_bias,
-                memory_state=mem,
-                use_causal_mask=self.use_attention_causal_mask,
-                train=train,
+                mask,
+                content_bias,
+                positional_bias,
+                mem,
+                self.use_attention_causal_mask,
+                train,
             )
             if new_mem is not None:
                 new_states.append(new_mem)

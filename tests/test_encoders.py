@@ -139,3 +139,17 @@ def test_transformer_encoder_absolute_pe():
     feats, lens = _feats()
     _, (out, olen, states) = _run(enc, feats, lens)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_conformer_remat_grads():
+    """use_remat trades FLOPs for memory — must compile and differentiate."""
+    enc = ConformerEncoder(subsampling=SUB, dmodel=16, num_blocks=2, head_size=4, num_heads=2, kernel_size=7, use_remat=True, dropout=0.0)
+    feats, lens = _feats()
+    vars_ = enc.init({"params": jax.random.PRNGKey(0)}, feats, lens, train=False)
+
+    def loss(params):
+        out, _, _ = enc.apply({**vars_, "params": params}, feats, lens, train=False)
+        return jnp.sum(out**2)
+
+    g = jax.grad(loss)(vars_["params"])
+    assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree_util.tree_leaves(g))
