@@ -63,15 +63,19 @@ def compute_causal_mask(t: int, s: int) -> jax.Array:
 def compute_streaming_mask(chunk_size: int, history_size: int, t: int, s: int) -> jax.Array:
     """[T, S] chunked-attention visibility (reference :104-143).
 
-    Query i (chunk c = i // chunk_size) sees keys in
-    [max(0, c·chunk − history), min(S, c·chunk + chunk)).
-    ``history_size < 0`` means unlimited history.
+    Query i (chunk c = i // chunk_size) sees keys whose *frame* coordinate is
+    in [c·chunk − history, c·chunk + chunk). When S > T the first S−T key
+    columns are prepended memory: they sit at negative relative frames
+    (column j ↦ frame j − (S−T), same end-alignment as the causal mask) and
+    therefore count toward the history window. ``history_size < 0`` means
+    unlimited history.
     """
     hist = s if history_size < 0 else history_size
+    offset = s - t  # prepended memory columns
     chunk_start = (jnp.arange(t) // chunk_size) * chunk_size
-    start = jnp.maximum(0, chunk_start - hist)
-    end = jnp.minimum(s, chunk_start + chunk_size)
-    cols = jnp.arange(s)
+    start = chunk_start - hist
+    end = chunk_start + chunk_size
+    cols = jnp.arange(s) - offset
     return (cols[None, :] >= start[:, None]) & (cols[None, :] < end[:, None])
 
 

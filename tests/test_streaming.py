@@ -158,11 +158,43 @@ def test_attention_memory_exactly_equals_chunked_mask():
     np.testing.assert_allclose(np.asarray(stitched), np.asarray(full), atol=1e-5)
 
 
+def test_attention_memory_plus_chunk_mask_equals_chunked_full_pass():
+    """Memory-carried chunk-by-chunk MHA *with the chunk mask active* (the
+    configuration streaming Conformer uses) must equal the no-memory full
+    pass under the chunked mask — the known-correct semantics. Regression
+    test for the memory/chunk-mask coordinate bug: key columns must be
+    shifted into frame coordinates when memory is prepended, else the first
+    chunk is fully masked and later chunks attend to wrong columns."""
+    from tensorflowasr_tpu.models.layers.attention import MultiHeadAttention
+
+    T, D, CH, MEM = 16, 16, 4, 8
+    # known-correct reference semantics: full pass, chunk mask, no memory
+    m = MultiHeadAttention(num_heads=2, key_dim=8, output_dim=D, chunk_size=CH, history_size=MEM)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((1, T, D)), jnp.float32)
+    mask = jnp.ones((1, T), bool)
+    v = m.init(jax.random.PRNGKey(0), x, x, query_mask=mask, kv_mask=mask)
+    full, _ = m.apply(v, x, x, query_mask=mask, kv_mask=mask)
+
+    # streaming path: memory AND chunk mask both active, one chunk per call
+    m2 = MultiHeadAttention(num_heads=2, key_dim=8, output_dim=D, memory_length=MEM, chunk_size=CH, history_size=MEM)
+    mem = m2.init_memory(1, D)
+    outs = []
+    for i in range(T // CH):
+        chunk = x[:, i * CH : (i + 1) * CH]
+        cm = jnp.ones((1, CH), bool)
+        out, mem = m2.apply({"params": v["params"]}, chunk, chunk, query_mask=cm, kv_mask=cm, memory_state=mem)
+        outs.append(out)
+    stitched = jnp.concatenate(outs, axis=1)
+    # non-degeneracy: the first chunk must actually attend (bug zeroed it)
+    assert float(jnp.abs(stitched[:, :CH]).max()) > 1e-3
+    np.testing.assert_allclose(np.asarray(stitched), np.asarray(full), atol=1e-5)
+
+
 def test_streaming_conformer_first_chunk_exact():
-    """The first chunk of a memory-carried streaming Conformer matches the
-    full pass exactly (zero-memory init + masks line up); later chunks are
-    approximate at conv boundaries — inherent to the causal-conv streaming
-    design (same as the reference's)."""
+    """The first chunk of a memory-carried streaming Conformer matches a
+    NO-memory full pass under the chunked attention mask (the known-correct
+    semantics) exactly; later chunks are approximate at conv boundaries —
+    inherent to the causal-conv streaming design (same as the reference's)."""
     from tensorflowasr_tpu.models.encoders.conformer import ConformerEncoder
 
     sub = {
@@ -171,12 +203,50 @@ def test_streaming_conformer_first_chunk_exact():
     }
     enc = ConformerEncoder(
         subsampling=sub, dmodel=16, num_blocks=2, head_size=4, num_heads=2, kernel_size=3,
-        memory_length=8, chunk_size=4, history_size=8, mhsam_causal=True, convm_dw_norm_type="layer", dropout=0.0,
+        memory_length=8, chunk_size=4, history_size=8, mhsam_causal=True, use_attention_causal_mask=True,
+        convm_dw_norm_type="layer", dropout=0.0,
     )
     rng = np.random.default_rng(0)
     feats = jnp.asarray(rng.standard_normal((1, 64, 20)), jnp.float32)
     st0 = enc.init_state(1)
     vars_ = enc.init({"params": jax.random.PRNGKey(0)}, feats, jnp.asarray([64]), initial_state=st0, train=False)
-    full, _, _ = enc.apply(vars_, feats, jnp.asarray([64]), initial_state=st0, train=False)
+    # known-correct semantics: chunked mask, NO memory prepended
+    full_nomem, _, _ = enc.apply(vars_, feats, jnp.asarray([64]), initial_state=None, train=False)
+    # memory-carried full pass must agree with it (zero memory == no memory)
+    full_mem, _, _ = enc.apply(vars_, feats, jnp.asarray([64]), initial_state=st0, train=False)
+    np.testing.assert_allclose(np.asarray(full_mem), np.asarray(full_nomem), atol=1e-5)
+    # first streaming chunk (16 raw frames → 4 encoder frames) is exact
     chunk0, _, _ = enc.apply(vars_, feats[:, :16], jnp.asarray([16]), initial_state=st0, train=False)
-    np.testing.assert_allclose(np.asarray(chunk0), np.asarray(full[:, :4]), atol=1e-5)
+    assert float(np.abs(np.asarray(chunk0)).max()) > 1e-3
+    np.testing.assert_allclose(np.asarray(chunk0), np.asarray(full_nomem[:, :4]), atol=1e-5)
+
+
+def test_streaming_conformer_memory_carries_across_chunks():
+    """Attention-only streaming Conformer (kernel_size=1 ⇒ no cross-chunk
+    conv context) with carried KV memory equals the no-memory full pass with
+    the chunked mask on EVERY chunk, not just the first."""
+    from tensorflowasr_tpu.models.encoders.conformer import ConformerEncoder
+
+    sub = {
+        "class_name": "Conv2dSubsampling",
+        "config": {"filters": [8], "kernels": [1], "strides": [4], "paddings": ["causal"], "norms": ["none"], "activations": ["swish"]},
+    }
+    # non-causal relpe (reference streaming default) + memory: queries see
+    # their whole chunk including in-chunk future, plus MEM frames of history
+    enc = ConformerEncoder(
+        subsampling=sub, dmodel=16, num_blocks=2, head_size=4, num_heads=2, kernel_size=1,
+        memory_length=8, chunk_size=4, history_size=8, mhsam_causal=False, convm_dw_norm_type="layer", dropout=0.0,
+    )
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.standard_normal((1, 64, 20)), jnp.float32)
+    st0 = enc.init_state(1)
+    vars_ = enc.init({"params": jax.random.PRNGKey(0)}, feats, jnp.asarray([64]), initial_state=st0, train=False)
+    full_nomem, _, _ = enc.apply(vars_, feats, jnp.asarray([64]), initial_state=None, train=False)
+
+    outs, state = [], st0
+    for i in range(4):
+        chunk = feats[:, i * 16 : (i + 1) * 16]
+        out, _, state = enc.apply(vars_, chunk, jnp.asarray([16]), initial_state=state, train=False)
+        outs.append(out)
+    stitched = jnp.concatenate(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(stitched), np.asarray(full_nomem), atol=1e-5)
