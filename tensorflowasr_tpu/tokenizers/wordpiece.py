@@ -35,7 +35,25 @@ class WordPieceTokenizer(Tokenizer):
         path = self._vocab_path()
         if not path or not os.path.exists(path):
             raise FileNotFoundError(f"wordpiece vocabulary not found: {path} — run build() first")
-        self._hf = HFTokenizer.from_file(path)
+        with open(path, encoding="utf-8") as f:
+            head = f.read(1)
+        if head == "{":  # HF tokenizers json artifact (our build() output)
+            self._hf = HFTokenizer.from_file(path)
+        else:
+            # reference-style plain-text vocab, one token per line (the
+            # reference's bert_vocab output, tokenizers.py:363-390); greedy
+            # longest-match wordpiece == HF WordPiece == FastWordpiece
+            with open(path, encoding="utf-8") as f:
+                tokens = f.read().splitlines()
+            vocab = {tok: i for i, tok in enumerate(tokens)}
+            unk = self.decoder_config.unknown_token or UNK
+            hf = HFTokenizer(models.WordPiece(vocab=vocab, unk_token=unk, max_input_chars_per_word=100))
+            if self.decoder_config.keep_whitespace:
+                hf.pre_tokenizer = pre_tokenizers.Split(" ", behavior="isolated")
+            else:
+                hf.pre_tokenizer = pre_tokenizers.WhitespaceSplit()
+            hf.decoder = decoders.WordPiece(prefix="##", cleanup=False)
+            self._hf = hf
         self._finish_init()
 
     def _finish_init(self):

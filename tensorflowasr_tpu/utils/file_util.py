@@ -78,8 +78,9 @@ def load_yaml(path: PathLike, custom_vars: dict | None = None, **kwargs) -> dict
         raw = f.read()
 
     env = jinja2.Environment(undefined=jinja2.ChainableUndefined)
-    # Jinja include/import support relative to the config dir and repo root.
-    env.loader = jinja2.FileSystemLoader([os.path.dirname(path), repodir, "/"])
+    # Jinja include/import support relative to the config dir and repo root
+    # (honoring a caller-overridden repodir, e.g. a reference checkout).
+    env.loader = jinja2.FileSystemLoader([os.path.dirname(path), str(template_vars["repodir"]), repodir, "/"])
     rendered = env.from_string(raw).render(**template_vars)
 
     loader = yaml.SafeLoader
