@@ -1,10 +1,15 @@
-"""Benchmark: Conformer Transducer Small greedy-decode RTF per chip.
+"""Benchmark: Conformer Transducer Small — decode RTF + train throughput/MFU.
 
-Measures end-to-end inference (raw audio → feature frontend → encoder →
-frame-synchronous greedy decode) on the available accelerator and prints ONE
-JSON line:
+Measures on the available accelerator and prints ONE JSON line:
 
-  {"metric": "rtf_per_chip", "value": N, "unit": "x_realtime", "vs_baseline": N/10}
+  {"metric": "rtf_per_chip", "value": N, "unit": "x_realtime", "vs_baseline": N/10,
+   "train": {"bs4": {"step_ms": .., "mfu_pct": ..}, ...}}
+
+Primary metric stays greedy-decode RTF (end-to-end raw audio → frontend →
+encoder → frame-synchronous greedy decode). The "train" block records the
+full jit train step (forward + RNN-T loss + grads + optax update) at batch
+sizes 4/8/16 on 16 s utterances, with model-FLOPs-utilization from XLA's
+compiled cost analysis against the chip's peak bf16 FLOPs.
 
 Baseline: the reference publishes no throughput numbers (SURVEY.md §6); the
 north-star speed target from BASELINE.json is ≥10× real-time per chip on
@@ -14,9 +19,98 @@ Conformer-S, so vs_baseline = value / 10.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
+
+PEAK_BF16_FLOPS = {
+    # per-chip peak dense bf16 FLOP/s (public spec sheets)
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5": 197e12,
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,
+}
+
+
+def _peak_flops(device) -> float:
+    kind = getattr(device, "device_kind", "") or ""
+    for name, peak in PEAK_BF16_FLOPS.items():
+        if kind.startswith(name):
+            return peak
+    return 197e12  # default to v5e
+
+
+def bench_train(batch_sizes=(4, 8, 16), audio_secs=16.0, u_len=128):
+    """Train-step latency + MFU at several batch sizes. Returns a dict."""
+    import jax
+    import jax.numpy as jnp
+
+    from tensorflowasr_tpu import schemas
+    from tensorflowasr_tpu.optimizers import build_optimizer
+    from tensorflowasr_tpu.training import Trainer
+
+    from __graft_entry__ import _conformer_small
+
+    on_tpu = any(d.platform != "cpu" for d in jax.devices())
+    vocab = 256
+    model = _conformer_small(vocab_size=vocab, num_blocks=16, dmodel=144, dtype=jnp.bfloat16 if on_tpu else jnp.float32)
+    sr = 16000
+    nsamples = int(audio_secs * sr)
+    rng = np.random.default_rng(0)
+    peak = _peak_flops(jax.devices()[0])
+
+    results = {}
+    for bs in batch_sizes:
+        def make_batch(seed):
+            r = np.random.default_rng(seed)
+            return schemas.TrainData(
+                inputs=schemas.TrainInput(
+                    inputs=jnp.asarray(r.standard_normal((bs, nsamples)) * 0.1, jnp.float32),
+                    inputs_length=jnp.full((bs,), nsamples, jnp.int32),
+                    predictions=jnp.asarray(np.pad(r.integers(1, vocab, (bs, u_len)), ((0, 0), (1, 0))), jnp.int32),
+                    predictions_length=jnp.full((bs,), u_len + 1, jnp.int32),
+                ),
+                labels=schemas.TrainLabel(
+                    labels=jnp.asarray(r.integers(1, vocab, (bs, u_len)), jnp.int32),
+                    labels_length=jnp.full((bs,), u_len, jnp.int32),
+                ),
+            )
+
+        batch = make_batch(0)
+        tx = build_optimizer({"class_name": "Adam", "config": {"learning_rate": 1e-4}}, ga_steps=1)
+        trainer = Trainer(model, tx)
+        state = trainer.init_state(batch)
+        state, metrics = trainer.train_step(state, batch)  # compile
+        float(metrics["loss"])
+
+        flops = None
+        try:
+            ca = trainer._train_step.lower(state, batch).compile().cost_analysis()
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            flops = float(ca.get("flops", 0.0)) or None
+        except Exception:
+            flops = None
+
+        iters = 5
+        times = []
+        for i in range(1, iters + 1):
+            b = make_batch(i)
+            t0 = time.perf_counter()
+            state, metrics = trainer.train_step(state, b)
+            float(metrics["loss"])  # device→host fetch forces completion
+            times.append(time.perf_counter() - t0)
+        dt = float(np.median(times))
+        entry = {
+            "step_ms": round(dt * 1e3, 2),
+            "utt_per_sec": round(bs / dt, 2),
+            "train_x_realtime": round(bs * audio_secs / dt, 1),
+        }
+        if flops:
+            entry["mfu_pct"] = round(100.0 * flops / dt / peak, 2)
+        results[f"bs{bs}"] = entry
+    return results
 
 
 def main():
@@ -78,7 +172,14 @@ def main():
     dt = float(np.median(times))
 
     rtf = (batch * audio_secs) / dt
-    print(json.dumps({"metric": "rtf_per_chip", "value": round(rtf, 3), "unit": "x_realtime", "vs_baseline": round(rtf / 10.0, 4)}))
+
+    record = {"metric": "rtf_per_chip", "value": round(rtf, 3), "unit": "x_realtime", "vs_baseline": round(rtf / 10.0, 4)}
+    if os.environ.get("TFASR_BENCH_TRAIN", "1") != "0":
+        try:
+            record["train"] = bench_train()
+        except Exception as e:  # train bench must never sink the primary metric
+            record["train"] = {"error": f"{type(e).__name__}: {e}"}
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -94,14 +94,14 @@ class FFModule(nn.Module):
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         out = x
         if self.norm_position == "pre":
-            out = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="ln")(out)
+            out = nn.LayerNorm(epsilon=1e-3, dtype=self.dtype, param_dtype=jnp.float32, name="ln")(out)
         out = nn.Dense(self.scale_factor * self.input_dim, dtype=self.dtype, param_dtype=jnp.float32, name="dense_1")(out)
         out = nn.swish(out)
         out = nn.Dropout(self.dropout, deterministic=not train)(out)
         out = nn.Dense(self.input_dim, dtype=self.dtype, param_dtype=jnp.float32, name="dense_2")(out)
         out = nn.Dropout(self.dropout, deterministic=not train)(out)
         if self.norm_position == "post":
-            out = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="ln")(out)
+            out = nn.LayerNorm(epsilon=1e-3, dtype=self.dtype, param_dtype=jnp.float32, name="ln")(out)
         return Residual(factor=self.residual_factor, dtype=self.dtype, name="residual")(x, out)
 
 
@@ -120,6 +120,11 @@ class MHSAModule(nn.Module):
     history_size: Optional[int] = None
     chunk_size: Optional[int] = None
     use_attention_bias: bool = False
+    # Reference parity: Keras deletes key/value masks and masks query ROWS
+    # only (multihead_attention.py:368-372), so padded keys participate in
+    # the softmax. mask_kv=True additionally masks padded KV columns
+    # (strictly more correct, but diverges from published checkpoints).
+    mask_kv: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -135,9 +140,10 @@ class MHSAModule(nn.Module):
         use_causal_mask: bool = False,
         train: bool = False,
     ):
+        kv_mask = mask if self.mask_kv else None
         out = x
         if self.norm_position == "pre":
-            out = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="ln")(out)
+            out = nn.LayerNorm(epsilon=1e-3, dtype=self.dtype, param_dtype=jnp.float32, name="ln")(out)
         common = dict(
             num_heads=self.num_heads,
             key_dim=self.head_size,
@@ -158,18 +164,18 @@ class MHSAModule(nn.Module):
                 content_attention_bias=content_attention_bias,
                 positional_attention_bias=positional_attention_bias,
                 query_mask=mask,
-                kv_mask=mask,
+                kv_mask=kv_mask,
                 use_causal_mask=use_causal_mask,
                 memory_state=memory_state,
                 train=train,
             )
         else:
             out, new_memory = MultiHeadAttention(name="mhsa", **common)(
-                out, out, query_mask=mask, kv_mask=mask, use_causal_mask=use_causal_mask, memory_state=memory_state, train=train
+                out, out, query_mask=mask, kv_mask=kv_mask, use_causal_mask=use_causal_mask, memory_state=memory_state, train=train
             )
         out = nn.Dropout(self.dropout, deterministic=not train)(out)
         if self.norm_position == "post":
-            out = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="ln")(out)
+            out = nn.LayerNorm(epsilon=1e-3, dtype=self.dtype, param_dtype=jnp.float32, name="ln")(out)
         out = Residual(factor=self.residual_factor, dtype=self.dtype, name="residual")(x, out)
         return out, new_memory
 
@@ -193,7 +199,7 @@ class ConvModule(nn.Module):
     def __call__(self, x: jax.Array, pad_mask: Optional[jax.Array] = None, train: bool = False) -> jax.Array:
         out = x
         if self.norm_position == "pre":
-            out = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="ln")(out)
+            out = nn.LayerNorm(epsilon=1e-3, dtype=self.dtype, param_dtype=jnp.float32, name="ln")(out)
         out = Conv1D(filters=self.scale_factor * self.input_dim, kernel_size=1, padding="valid", dtype=self.dtype, name="pw_conv_1")(out)
         out = GLU(name="glu")(out)
         if pad_mask is not None:
@@ -211,7 +217,7 @@ class ConvModule(nn.Module):
         out = Conv1D(filters=self.input_dim, kernel_size=1, padding="valid", dtype=self.dtype, name="pw_conv_2")(out)
         out = nn.Dropout(self.dropout, deterministic=not train)(out)
         if self.norm_position == "post":
-            out = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="ln")(out)
+            out = nn.LayerNorm(epsilon=1e-3, dtype=self.dtype, param_dtype=jnp.float32, name="ln")(out)
         return Residual(factor=self.residual_factor, dtype=self.dtype, name="residual")(x, out)
 
 
@@ -232,6 +238,10 @@ class ConformerBlock(nn.Module):
     convm_residual_factor: float = 1.0
     convm_use_group_conv: bool = False
     convm_dw_norm_type: str = "batch"
+    # Reference parity: the reference ConvModule receives no mask (Keras
+    # masks are destroyed upstream), so padded frames flow through convs/BN.
+    # convm_mask_pad=True zeroes them (cleaner BN stats; non-parity).
+    convm_mask_pad: bool = False
     module_norm_position: str = "pre"
     block_norm_position: str = "post"
     memory_length: Optional[int] = None
@@ -252,7 +262,7 @@ class ConformerBlock(nn.Module):
         train: bool = False,
     ):
         if self.block_norm_position == "pre":
-            x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="ln_pre")(x)
+            x = nn.LayerNorm(epsilon=1e-3, dtype=self.dtype, param_dtype=jnp.float32, name="ln_pre")(x)
         x = FFModule(
             input_dim=self.input_dim,
             dropout=self.dropout,
@@ -299,7 +309,7 @@ class ConformerBlock(nn.Module):
             use_group_conv=self.convm_use_group_conv,
             dtype=self.dtype,
             name="conv_module",
-        )(x, pad_mask=mask, train=train)
+        )(x, pad_mask=mask if self.convm_mask_pad else None, train=train)
         x = FFModule(
             input_dim=self.input_dim,
             dropout=self.dropout,
@@ -310,7 +320,7 @@ class ConformerBlock(nn.Module):
             name="ff_module_2",
         )(x, train=train)
         if self.block_norm_position == "post":
-            x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="ln_post")(x)
+            x = nn.LayerNorm(epsilon=1e-3, dtype=self.dtype, param_dtype=jnp.float32, name="ln_post")(x)
         return x, new_memory
 
 

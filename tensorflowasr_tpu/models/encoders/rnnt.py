@@ -36,7 +36,7 @@ class RnnTransducerBlock(nn.Module):
         if self.reduction_factor > 0:
             self.reduction = TimeReduction(self.reduction_factor)
         if self.layer_norm:
-            self.ln = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32)
+            self.ln = nn.LayerNorm(epsilon=1e-3, dtype=self.dtype, param_dtype=jnp.float32)
         self.projection = nn.Dense(self.dmodel, dtype=self.dtype, param_dtype=jnp.float32)
 
     def __call__(self, x: jax.Array, lengths: jax.Array, initial_state=None, train: bool = False):

@@ -35,13 +35,13 @@ class PointwiseFFN(nn.Module):
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         out = x
         if self.norm_position == "pre":
-            out = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="ln")(out)
+            out = nn.LayerNorm(epsilon=1e-3, dtype=self.dtype, param_dtype=jnp.float32, name="ln")(out)
         out = nn.Dense(self.dff, dtype=self.dtype, param_dtype=jnp.float32, name="ffn_1")(out)
         out = get_activation(self.activation)(out)
         out = nn.Dense(self.dmodel, dtype=self.dtype, param_dtype=jnp.float32, name="ffn_2")(out)
         out = nn.Dropout(self.dropout, deterministic=not train)(out)
         if self.norm_position == "post":
-            out = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="ln")(out)
+            out = nn.LayerNorm(epsilon=1e-3, dtype=self.dtype, param_dtype=jnp.float32, name="ln")(out)
         return Residual(factor=self.residual_factor, dtype=self.dtype, name="residual")(x, out)
 
 

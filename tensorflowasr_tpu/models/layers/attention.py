@@ -111,14 +111,19 @@ def _merge_masks(
 
 
 def _masked_softmax(scores: jax.Array, mask: Optional[jax.Array]) -> jax.Array:
-    """Softmax over the last axis in f32; fully-masked rows become zeros."""
+    """Softmax over the last axis in f32 with an ADDITIVE −1e9 mask.
+
+    Keras-Softmax parity: masked positions get −1e9 added (not replaced), so
+    a fully-masked row degrades to a plain softmax of its raw scores rather
+    than zeros/uniform — padded query rows then produce the same values the
+    reference produces, which matters because later blocks consume them as
+    (unmasked) attention keys.
+    """
     dtype = scores.dtype
     scores = scores.astype(jnp.float32)
     if mask is not None:
-        scores = jnp.where(mask, scores, jnp.float32(-1e30))
+        scores = scores + (1.0 - mask.astype(jnp.float32)) * jnp.float32(-1e9)
     probs = jax.nn.softmax(scores, axis=-1)
-    if mask is not None:
-        probs = jnp.where(jnp.any(mask, axis=-1, keepdims=True), probs, 0.0)
     return probs.astype(dtype)
 
 

@@ -1,10 +1,10 @@
 """Convolution layers with "causal" padding support.
 
 Reference parity (``tensorflow_asr/models/layers/convolution.py:25-37``):
-``causal`` padding left-pads the time axis by ``dilation·(k−1)`` so outputs
-never see the future — frequency axes (Conv2D) stay "same"-padded. Thin
-wrappers over ``flax.linen.Conv`` keeping params f32 and compute in
-``dtype``.
+``causal`` padding left-pads EVERY spatial axis by ``dilation·(k−1)`` —
+for Conv2D that includes the frequency axis (``width_pad`` in the
+reference), not just time. Thin wrappers over ``flax.linen.Conv`` keeping
+params f32 and compute in ``dtype``.
 """
 
 from __future__ import annotations
@@ -16,18 +16,18 @@ import jax
 import jax.numpy as jnp
 
 
-def _norm_padding(padding: Union[str, Sequence], kernel_size: Sequence[int], dilation: Sequence[int], causal_axes: Sequence[int]):
-    """Map "causal" to explicit per-axis pads; pass through others."""
+def _norm_padding(padding: Union[str, Sequence], kernel_size: Sequence[int], dilation: Sequence[int], causal_axes: Sequence[int] = ()):
+    """Map "causal" to explicit per-axis left pads; pass through others.
+
+    Reference semantics (convolution.py:25-37): causal left-pads ALL
+    spatial axes — time AND frequency for rank 2 (``causal_axes`` is kept
+    for signature stability but every axis pads left).
+    """
     if isinstance(padding, str) and padding.lower() == "causal":
         pads = []
         for i, k in enumerate(kernel_size):
             d = dilation[i] if i < len(dilation) else 1
-            total = d * (k - 1)
-            if i in causal_axes:
-                pads.append((total, 0))
-            else:
-                left = total // 2
-                pads.append((left, total - left))
+            pads.append((d * (k - 1), 0))
         return pads
     return padding.upper() if isinstance(padding, str) else padding
 

@@ -58,7 +58,7 @@ class TransducerPrediction(nn.Module):
             for i in range(self.num_rnns)
         ]
         if self.layer_norm:
-            self.lns = [nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name=f"ln_{i}") for i in range(self.num_rnns)]
+            self.lns = [nn.LayerNorm(epsilon=1e-3, dtype=self.dtype, param_dtype=jnp.float32, name=f"ln_{i}") for i in range(self.num_rnns)]
         if self.projection_units > 0:
             self.projections = [
                 nn.Dense(self.projection_units, dtype=self.dtype, param_dtype=jnp.float32, name=f"projection_{i}") for i in range(self.num_rnns)

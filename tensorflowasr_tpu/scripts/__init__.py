@@ -64,6 +64,10 @@ def main(argv=None):
     p_mls = usub.add_parser("create_mls_trans")
     p_mls.add_argument("--split-dir", required=True)
     p_mls.add_argument("--output", default=None)
+    p_conv = usub.add_parser("convert_checkpoint", help="reference Keras .weights.h5 → orbax checkpoint")
+    _add_common(p_conv)
+    p_conv.add_argument("--h5", required=True, help="reference .h5/.weights.h5 checkpoint")
+    p_conv.add_argument("--output", required=True, help="orbax checkpoint output dir")
 
     args = parser.parse_args(argv)
 

@@ -25,9 +25,12 @@ def main(args):
     variables = _load_variables(model, tokenizer, args)
 
     output = os.path.abspath(args.output)
-    ocp.StandardCheckpointer().save(output, jax.device_get(variables))
-    # reload check (reference does save → load_weights verification)
-    restored = ocp.StandardCheckpointer().restore(output, jax.device_get(variables))
+    # hold + close the checkpointer: a bare temporary can be GC'd while its
+    # async commit is still writing metadata ("futures after shutdown")
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(output, jax.device_get(variables))
+        # reload check (reference does save → load_weights verification)
+        restored = ckptr.restore(output, jax.device_get(variables))
     n = len(jax.tree_util.tree_leaves(restored))
     logger.info("saved + verified %d arrays at %s", n, output)
     return 0

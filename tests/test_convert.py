@@ -1,0 +1,177 @@
+"""Checkpoint conversion + forward parity against the actual reference model.
+
+The strongest parity evidence possible without published checkpoints: build
+the real reference Keras Conformer-Transducer, save its weights as the h5
+format its checkpoints ship in, convert with ``convert.keras_h5``, and
+require OUR model's logits to match the reference's on the same raw audio.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests import ref_oracle
+
+tfasr_ref = ref_oracle.import_reference()
+
+pytestmark = pytest.mark.skipif(tfasr_ref is None, reason="reference package / TF not importable")
+
+
+@pytest.fixture(scope="module")
+def ref_setup(tmp_path_factory):
+    import tensorflow as tf
+
+    from tensorflow_asr import schemas as ref_schemas
+    from tensorflow_asr.models.transducer.conformer import Conformer as RefConformer
+
+    tf.keras.utils.set_random_seed(42)
+    cfg = dict(ref_oracle.TINY_CONFORMER_CONFIG)
+    model = RefConformer(**cfg)
+    model.make(batch_size=2)
+    h5 = str(tmp_path_factory.mktemp("ckpt") / "ref.weights.h5")
+    model.save_weights(h5)
+
+    rng = np.random.default_rng(0)
+    n, u = 3200, 5
+    inputs = rng.standard_normal((2, n)).astype(np.float32) * 0.1
+    preds = np.pad(rng.integers(1, 12, (2, u)), ((0, 0), (1, 0))).astype(np.int32)
+    ti = ref_schemas.TrainInput(
+        inputs=tf.constant(inputs),
+        inputs_length=tf.constant([n, n // 2], tf.int32),
+        predictions=tf.constant(preds),
+        predictions_length=tf.constant([u + 1, u], tf.int32),
+    )
+    out = model(ti, training=False)
+    return {
+        "h5": h5,
+        "inputs": inputs,
+        "preds": preds,
+        "n": n,
+        "u": u,
+        "ref_logits": np.asarray(out.logits),
+        "ref_logits_length": np.asarray(out.logits_length),
+    }
+
+
+def _our_model():
+    from tensorflowasr_tpu.models.transducer.conformer import Conformer
+
+    cfg = {k: v for k, v in ref_oracle.TINY_CONFORMER_CONFIG.items()}
+    cfg["encoder_subsampling"] = {
+        "class_name": "Conv2dSubsampling",
+        "config": dict(cfg["encoder_subsampling"]["config"]),
+    }
+    return Conformer.from_config(cfg, dtype=jnp.float32)
+
+
+def test_h5_convert_and_forward_parity(ref_setup):
+    from tensorflowasr_tpu import schemas
+    from tensorflowasr_tpu.convert import load_transducer_h5
+
+    model = _our_model()
+    n, u = ref_setup["n"], ref_setup["u"]
+    ti = schemas.TrainInput(
+        inputs=jnp.asarray(ref_setup["inputs"]),
+        inputs_length=jnp.asarray([n, n // 2], jnp.int32),
+        predictions=jnp.asarray(ref_setup["preds"]),
+        predictions_length=jnp.asarray([u + 1, u], jnp.int32),
+    )
+    variables = model.init({"params": jax.random.PRNGKey(0)}, ti, train=False)
+    variables = load_transducer_h5(ref_setup["h5"], variables)  # strict: every param mapped
+
+    out = model.apply(variables, ti, train=False)
+    ours = np.asarray(out.logits, np.float32)
+    ref = ref_setup["ref_logits"]
+    assert ours.shape == ref.shape
+    np.testing.assert_array_equal(np.asarray(out.logits_length), ref_setup["ref_logits_length"])
+    # compare only valid frames/labels of each example
+    for b, (tlen, ulen) in enumerate(zip(ref_setup["ref_logits_length"], [u + 1, u])):
+        np.testing.assert_allclose(
+            ours[b, :tlen, :ulen], ref[b, :tlen, :ulen], rtol=2e-3, atol=2e-3,
+            err_msg=f"logits mismatch example {b}",
+        )
+
+
+def test_h5_convert_strict_detects_missing(ref_setup, tmp_path):
+    """A truncated h5 must fail loudly in strict mode."""
+    import h5py
+
+    from tensorflowasr_tpu import schemas
+    from tensorflowasr_tpu.convert import load_transducer_h5
+
+    trunc = str(tmp_path / "trunc.weights.h5")
+    with h5py.File(ref_setup["h5"], "r") as src, h5py.File(trunc, "w") as dst:
+        src.copy("encoder", dst)  # drop joint_net + prediction
+    model = _our_model()
+    n, u = ref_setup["n"], ref_setup["u"]
+    ti = schemas.TrainInput(
+        inputs=jnp.asarray(ref_setup["inputs"]),
+        inputs_length=jnp.asarray([n, n // 2], jnp.int32),
+        predictions=jnp.asarray(ref_setup["preds"]),
+        predictions_length=jnp.asarray([u + 1, u], jnp.int32),
+    )
+    variables = model.init({"params": jax.random.PRNGKey(0)}, ti, train=False)
+    with pytest.raises(ValueError, match="unmapped|missing"):
+        load_transducer_h5(trunc, variables)
+
+
+def test_convert_checkpoint_cli(ref_setup, tmp_path):
+    """End-to-end CLI: reference .weights.h5 → orbax checkpoint dir."""
+    vocab = tmp_path / "vocab.txt"
+    vocab.write_text("".join(f"{c}\n" for c in "abcdefghijkl"))
+    config = tmp_path / "config.yml"
+    config.write_text(
+        f"""
+decoder_config:
+  type: characters
+  blank_index: 0
+  vocabulary: {vocab}
+
+model_config:
+  class_name: Conformer
+  config:
+    speech_config: {{sample_rate: 16000, frame_ms: 25, stride_ms: 10, num_feature_bins: 20, feature_type: log_mel_spectrogram, nfft: 256}}
+    encoder_subsampling:
+      class_name: Conv2dSubsampling
+      config: {{filters: [8, 8], kernels: [3, 3], strides: [2, 2], paddings: [causal, causal], norms: [batch, batch], activations: [swish, swish]}}
+    encoder_dmodel: 16
+    encoder_num_blocks: 2
+    encoder_head_size: 4
+    encoder_num_heads: 2
+    encoder_mha_type: relmha
+    encoder_kernel_size: 3
+    encoder_dropout: 0.0
+    encoder_padding: causal
+    prediction_label_encode_mode: embedding
+    prediction_embed_dim: 8
+    prediction_num_rnns: 1
+    prediction_rnn_units: 16
+    prediction_rnn_type: lstm
+    prediction_layer_norm: true
+    joint_dim: 16
+    joint_activation: tanh
+    joint_mode: add
+    blank: 0
+    vocab_size: 12
+
+data_config: {{}}
+"""
+    )
+    from tensorflowasr_tpu.scripts import main
+
+    out = tmp_path / "orbax_ckpt"
+    rc = main(
+        [
+            "utils",
+            "convert_checkpoint",
+            "--config-path",
+            str(config),
+            "--h5",
+            ref_setup["h5"],
+            "--output",
+            str(out),
+        ]
+    )
+    assert rc == 0
+    assert out.is_dir() and (out / "_METADATA").exists()
