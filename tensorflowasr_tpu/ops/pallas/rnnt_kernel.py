@@ -39,10 +39,24 @@ def _logaddexp(a, b):
     return m + jnp.log1p(jnp.exp(-jnp.abs(a - b)))
 
 
+def _padded_lanes(u1: int) -> int:
+    """Lane-padded width of the skewed U dimension.
+
+    128-multiples, EXCEPT 384: on the axon TPU stack, kernels whose minor
+    dim is exactly 384 lanes (3 tiles) hang at runtime once the grid has
+    >1 step and D is large (bisected in scripts_dev/rnnt_bisect.py —
+    128/256/512/640 all pass at the same D and batch). Rounding the 384
+    bucket up to 512 costs 33% more VPU work on that bucket and nothing
+    else; every u <= u_len guard in the kernel already masks the padding.
+    """
+    u1p = round_up(u1, 128)
+    return 512 if u1p == 384 else u1p
+
+
 def _skew(x: jax.Array, num_diags: int) -> jax.Array:
     """[B, T, U1] → [B, D, U1p] with out[b, d, u] = x[b, d-u, u] (else LOG_0)."""
     b, t, u1 = x.shape
-    u1p = round_up(u1, 128)
+    u1p = _padded_lanes(u1)
     d_idx = jnp.arange(num_diags)[:, None]
     u_idx = jnp.arange(u1p)[None, :]
     t_idx = d_idx - u_idx  # [D, U1p]

@@ -93,18 +93,27 @@ def test_loss_dispatch_env(monkeypatch):
     from tensorflowasr_tpu.ops import losses
 
     monkeypatch.setenv("TFASR_LOSS_IMPL", "xla")
-    assert losses.get_ctc_loss_fn().__name__ == "ctc_loss_mean"
-    assert losses.get_rnnt_loss_fn().__name__ == "rnnt_loss_mean"
+    assert losses.get_ctc_loss_fn().__name__ == "ctc_loss_masked_mean"
+    assert losses.get_rnnt_loss_fn().__name__ == "rnnt_loss_masked_mean"
     monkeypatch.setenv("TFASR_LOSS_IMPL", "pallas")
-    assert losses.get_ctc_loss_fn().__name__ == "ctc_loss_pallas_mean"
-    assert losses.get_rnnt_loss_fn().__name__ == "rnnt_loss_pallas_mean"
+    assert losses.get_ctc_loss_fn().__name__ == "ctc_loss_pallas_masked_mean"
+    assert losses.get_rnnt_loss_fn().__name__ == "rnnt_loss_pallas_masked_mean"
     monkeypatch.setenv("TFASR_LOSS_IMPL", "auto")
-    assert losses.get_rnnt_loss_fn().__name__ == "rnnt_loss_auto_mean"
-    # shape guard: B4/T400/U200 (u1p 256) is the unsafe region
-    assert not losses._rnnt_pallas_safe(jnp.zeros((4, 400, 201, 8)))
-    assert losses._rnnt_pallas_safe(jnp.zeros((2, 400, 201, 8)))
-    assert losses._rnnt_pallas_safe(jnp.zeros((8, 400, 101, 8)))
-    assert losses._rnnt_pallas_safe(jnp.zeros((8, 200, 129, 8)))
+    assert losses.get_rnnt_loss_fn().__name__ == "rnnt_loss_pallas_masked_mean"
+    # the former shape guard is gone: the 384-lane hang region is padded
+    # away inside the kernel, so every shape routes to pallas
+    assert losses._rnnt_pallas_safe(jnp.zeros((4, 400, 201, 8)))
+
+
+def test_padded_lanes_skips_384_bucket():
+    from tensorflowasr_tpu.ops.pallas.rnnt_kernel import _padded_lanes
+
+    assert _padded_lanes(1) == 128
+    assert _padded_lanes(129) == 256
+    assert _padded_lanes(257) == 512  # 384 bucket rounds up (axon hang region)
+    assert _padded_lanes(384) == 512
+    assert _padded_lanes(385) == 512
+    assert _padded_lanes(513) == 640
 
 
 def test_frontend_pallas_matches_xla(rng):
