@@ -64,6 +64,7 @@ class ASRDataset:
         metadata: Optional[str] = None,
         sample_rate: int = 16000,
         name: str = "",
+        shard_across_processes: bool = True,
         **kwargs,
     ):
         self.tokenizer = tokenizer
@@ -76,6 +77,10 @@ class ASRDataset:
         self.metadata_path = metadata
         self.sample_rate = sample_rate
         self.name = name
+        # multi-host pods: each process iterates a disjoint manifest slice
+        # (reference tf.data auto-shard DATA policy, datasets.py:498);
+        # metadata/vocab builds still see the full entry list
+        self.shard_across_processes = shard_across_processes
         self.entries: list[tuple[str, str, str]] = []
         self.num_entries = 0
         self.max_input_length = 0
@@ -166,10 +171,21 @@ class ASRDataset:
             "predictions_length": np.int32(len(predictions)),
         }
 
+    def _process_local_entries(self) -> list:
+        """This process's slice of the manifest (all of it single-process)."""
+        if not self.shard_across_processes:
+            return list(self.entries)
+        import jax
+
+        pc, pi = jax.process_count(), jax.process_index()
+        if pc <= 1:
+            return list(self.entries)
+        return list(self.entries)[pi::pc]
+
     def examples(self, num_workers: int = 0) -> Iterator[dict]:
         self.read_entries()
         while True:
-            entries = list(self.entries)
+            entries = self._process_local_entries()
             if self.shuffle:
                 random.shuffle(entries)
             if num_workers > 1:
@@ -320,6 +336,13 @@ class ASRTFRecordDataset(ASRDataset):
             return
         while True:
             shard_ids = list(range(self.tfrecords_shards))
+            if self.shard_across_processes:
+                import jax
+
+                pc, pi = jax.process_count(), jax.process_index()
+                if pc > 1:
+                    # shard TFRecord files across pod hosts (DATA policy)
+                    shard_ids = shard_ids[pi::pc]
             if self.shuffle:
                 random.shuffle(shard_ids)
             for sid in shard_ids:
@@ -349,13 +372,26 @@ class ASRTFRecordDataset(ASRDataset):
                 return
 
 
-def get_global_shape(config: Config, *datasets, batch_size: Optional[int] = None, num_devices: int = 1):
-    """Static global shapes from dataset metadata (reference :102-138)."""
-    global_batch = (batch_size or config.learning_config.batch_size) * num_devices
+def get_global_shape(
+    config: Config,
+    *datasets,
+    batch_size: Optional[int] = None,
+    num_devices: int = 1,
+    num_local_devices: Optional[int] = None,
+):
+    """Static global shapes from dataset metadata (reference :102-138).
+
+    ``batch_size`` is PER DEVICE (reference: global = bs × num_replicas,
+    datasets.py:108). On multi-host pods each process's input pipeline
+    feeds only its local share — ``local_batch_size`` = bs × local devices.
+    """
+    per_device = batch_size or config.learning_config.batch_size
+    global_batch = per_device * num_devices
     max_input = max((d.max_input_length for d in datasets), default=0) or None
     max_label = max((d.max_label_length for d in datasets), default=0) or None
     return {
         "batch_size": global_batch,
+        "local_batch_size": per_device * (num_local_devices or num_devices),
         "padded_input_length": max_input,
         "padded_label_length": max_label,
     }

@@ -39,8 +39,10 @@ def main(args):
     lc = config.learning_config
     batch_size = args.bs or lc.batch_size
     num_devices = jax.device_count()
-    shapes = ds_mod.get_global_shape(config, train_ds, batch_size=batch_size, num_devices=num_devices)
-    logger.info("global shapes: %s (%d devices)", shapes, num_devices)
+    shapes = ds_mod.get_global_shape(
+        config, train_ds, batch_size=batch_size, num_devices=num_devices, num_local_devices=jax.local_device_count()
+    )
+    logger.info("global shapes: %s (%d devices, %d local)", shapes, num_devices, jax.local_device_count())
 
     tx = build_optimizer(lc.optimizer_config, ga_steps=lc.ga_steps, gradn_config=lc.gradn_config)
     ckpt_dir = os.path.join(os.environ.get("TFASR_MODELDIR", "models"), "checkpoints")
@@ -54,7 +56,8 @@ def main(args):
 
     import itertools
 
-    train_iter = train_ds.create(shapes["batch_size"], shapes["padded_input_length"], shapes["padded_label_length"])
+    # each process feeds its LOCAL share; shard_batch assembles the global array
+    train_iter = train_ds.create(shapes["local_batch_size"], shapes["padded_input_length"], shapes["padded_label_length"])
     sample = next(train_iter)
     train_iter = itertools.chain([sample], train_iter)  # don't drop the peeked batch
     state = trainer.init_state(sample)
@@ -77,7 +80,7 @@ def main(args):
     if eval_ds is not None:
         eval_ds.load_metadata()
         eval_ds.indefinite = False
-        eval_iter = list(eval_ds.create(shapes["batch_size"], shapes["padded_input_length"], shapes["padded_label_length"], prefetch=0))
+        eval_iter = list(eval_ds.create(shapes["local_batch_size"], shapes["padded_input_length"], shapes["padded_label_length"], prefetch=0))
 
     trainer.fit(state, train_iter, epochs=epochs, steps_per_epoch=steps_per_epoch, eval_data=eval_iter)
     return 0

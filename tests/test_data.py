@@ -205,7 +205,12 @@ def test_get_global_shape(manifest):
     cfg = Config({"learning_config": {"batch_size": 4}}, training=True)
     shapes = datasets.get_global_shape(cfg, ds, num_devices=2)
     assert shapes["batch_size"] == 8
+    assert shapes["local_batch_size"] == 8
     assert shapes["padded_input_length"] == 6400
+    # multi-host: each process feeds bs x local devices
+    shapes = datasets.get_global_shape(cfg, ds, num_devices=8, num_local_devices=4)
+    assert shapes["batch_size"] == 32
+    assert shapes["local_batch_size"] == 16
 
 
 def test_dataset_parallel_workers(manifest):

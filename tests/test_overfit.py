@@ -66,7 +66,7 @@ def test_overfit_ctc_greedy_decode(tok):
             "conv_strides": [[2, 2]],
             "conv_filters": [8],
             "rnn_nlayers": 1,
-            "rnn_units": 64,
+            "rnn_units": 96,  # 64 units can plateau in a no-space optimum on some trajectories
             "rnn_bidirectional": True,
             "vocab_size": tok.num_classes,
         }
@@ -74,12 +74,15 @@ def test_overfit_ctc_greedy_decode(tok):
     tx = build_optimizer({"class_name": "Adam", "config": {"learning_rate": 3e-3}})
     trainer = Trainer(model, tx)
     state = trainer.init_state(batch)
-    loss0 = None
-    for i in range(300):
+    loss0 = loss = None
+    for i in range(600):
         state, metrics = trainer.train_step(state, batch)
         if loss0 is None:
             loss0 = float(metrics["loss"])
-    loss = float(metrics["loss"])
+        if i >= 50:
+            loss = float(metrics["loss"])
+            if loss < 0.02:  # decisively overfit → decode is unambiguous
+                break
     assert loss < loss0 * 0.2, f"loss did not drop: {loss0} -> {loss}"
 
     pin = schemas.PredictInput(inputs=batch.inputs.inputs, inputs_length=batch.inputs.inputs_length)
