@@ -277,10 +277,9 @@ def recognize(
         decoder_states = model.init_decoder_states(batch)
 
     if beam_width and beam_width > 0:
-        tokens, lengths = transducer_decode.transducer_beam_search_decode(
+        tokens, lengths, next_tokens, next_decoder_states = transducer_decode.transducer_beam_search_decode(
             encoded, encoded_length, step_fn, prev_tokens, decoder_states, beam_width=beam_width, blank=model.blank
         )
-        next_tokens, next_decoder_states = prev_tokens, decoder_states
     elif decode_mode == "wind" and max_symbols_per_frame is None:
         def pred_step_fn(tok, states):
             return model.apply(variables, tok, states, method=model.pred_step)

@@ -131,7 +131,7 @@ def transducer_beam_search_decode(
     beam_width: int = 4,
     blank: int = 0,
     max_symbols_per_frame: int = 3,
-) -> Tuple[jax.Array, jax.Array]:
+) -> Tuple[jax.Array, jax.Array, jax.Array, tuple]:
     """Batched time-synchronous beam search (ALSD-style, fixed expansions).
 
     Per frame, each of the W hypotheses runs up to ``max_symbols_per_frame``
@@ -142,7 +142,10 @@ def transducer_beam_search_decode(
     matching token-wise beam search quality on typical ASR (references in
     PAPERS.md: token-wise beam, WIND).
 
-    Returns (best tokens [B, max_tokens], lengths [B]).
+    Returns (best tokens [B, max_tokens], lengths [B], next_tokens [B],
+    next_decoder_states) — the last two are the best hypothesis' carried
+    prediction-net feed/state so chunked streaming with beam decoding
+    continues from the winning hypothesis (not a reset state).
     """
     batch, max_frames, enc_dim = encoded.shape
     w = beam_width
@@ -234,7 +237,12 @@ def transducer_beam_search_decode(
     best = jnp.argmax(state.scores, axis=1)
     tokens = jnp.take_along_axis(state.tokens, best[:, None, None], axis=1)[:, 0]
     lengths = jnp.take_along_axis(state.lengths, best[:, None], axis=1)[:, 0]
-    return tokens, lengths
+    next_tokens = jnp.take_along_axis(state.prev_tokens, best[:, None], axis=1)[:, 0]
+    next_states = jax.tree_util.tree_map(
+        lambda x: jnp.take_along_axis(x, best.reshape((batch, 1) + (1,) * (x.ndim - 2)), axis=1)[:, 0],
+        state.decoder_states,
+    )
+    return tokens, lengths, next_tokens, next_states
 
 
 class _WindLoopState(NamedTuple):

@@ -30,10 +30,15 @@ def main(args):
 
     from tensorflowasr_tpu.training.evaluation import evaluate_dataset
 
+    # reference predict_step always produces greedy AND beam columns
+    # (base_model.py:232-248); beam width comes from the decoder config
+    # unless overridden on the CLI
+    beam_width = args.beam_width or int(getattr(config.decoder_config, "beam_width", 0) or 0)
+
     data = common.build_datasets(config, tokenizer, args, stages=("test",))
     for ds in data["test"]:
         report = evaluate_dataset(
-            model, variables, ds, tokenizer, batch_size=args.bs, beam_width=args.beam_width, collect_rows=True
+            model, variables, ds, tokenizer, batch_size=args.bs, beam_width=beam_width, collect_rows=True
         )
         plogger = PredictLogger(output=args.output)
         for row in report["rows"]:

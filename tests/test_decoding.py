@@ -158,11 +158,38 @@ def test_transducer_beam_matches_greedy_on_peaked():
     gt, gl, _, _ = transducer_decode.transducer_greedy_decode(
         jnp.asarray(enc), jnp.asarray([4]), _toy_step_fn(vocab), jnp.zeros((1,), jnp.int32), states
     )
-    bt, bl = transducer_decode.transducer_beam_search_decode(
+    bt, bl, bnt, bns = transducer_decode.transducer_beam_search_decode(
         jnp.asarray(enc), jnp.asarray([4]), _toy_step_fn(vocab), jnp.zeros((1,), jnp.int32), states, beam_width=2
     )
     assert int(bl[0]) == int(gl[0])
     np.testing.assert_array_equal(np.asarray(bt[0, : int(bl[0])]), np.asarray(gt[0, : int(gl[0])]))
+    # carried state matches greedy: last token fed forward + states advanced per emission
+    assert int(bnt[0]) == int(gt[0, int(gl[0]) - 1])
+    assert bns[0].shape == states[0].shape
+
+
+def test_transducer_beam_streaming_chunks_equal_full():
+    """Chunked beam (states carried across chunks) == full-utterance beam."""
+    vocab = 4
+    enc = np.zeros((1, 6, vocab), np.float32)
+    for t, tok in enumerate([1, 0, 2, 3, 0, 1]):
+        enc[0, t, tok] = 10.0
+    states = (jnp.zeros((1, 2)),)
+    step_fn = _toy_step_fn(vocab)
+
+    ft, fl, _, _ = transducer_decode.transducer_beam_search_decode(
+        jnp.asarray(enc), jnp.asarray([6]), step_fn, jnp.zeros((1,), jnp.int32), states, beam_width=2
+    )
+
+    prev_tok = jnp.zeros((1,), jnp.int32)
+    st = states
+    got = []
+    for lo in (0, 3):
+        ct, cl, prev_tok, st = transducer_decode.transducer_beam_search_decode(
+            jnp.asarray(enc[:, lo : lo + 3]), jnp.asarray([3]), step_fn, prev_tok, st, beam_width=2
+        )
+        got.extend(np.asarray(ct[0, : int(cl[0])]).tolist())
+    np.testing.assert_array_equal(got, np.asarray(ft[0, : int(fl[0])]))
 
 
 def test_transducer_greedy_max_symbols_per_frame():
