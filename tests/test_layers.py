@@ -314,3 +314,103 @@ def test_feature_extraction_module_with_augment():
     # eval path needs no rng
     feats_eval, _ = m.apply(v, sig, lens, train=False)
     assert np.isfinite(np.asarray(feats_eval)).all()
+
+
+# --------------------- BlurPool / SequenceBatchNorm goldens --------------------- #
+
+from tests import ref_oracle  # noqa: E402
+
+_tfasr_ref = ref_oracle.import_reference()
+
+
+@pytest.mark.skipif(_tfasr_ref is None, reason="reference oracle unavailable")
+@pytest.mark.parametrize("kernel_size", [2, 3, 4, 5])
+def test_blurpool1d_golden_vs_reference_single_channel(kernel_size):
+    """For in_channels == 1 the reference's channel-summing conv coincides
+    with the depthwise definition — outputs must match exactly
+    (reference models/layers/blurpool.py:80-137: reflect pad + binomial)."""
+    from tensorflowasr_tpu.models.layers.blurpool import BlurPool1D
+
+    ref_cls = _tfasr_ref.models.layers.blurpool.BlurPool1D
+    x = np.random.default_rng(0).standard_normal((2, 12, 1)).astype(np.float32)
+
+    ref = ref_cls(filters=1, kernel_size=kernel_size, strides=2, padding="reflect")
+    want = np.asarray(ref(x))
+
+    m = BlurPool1D(kernel_size=kernel_size, strides=2, padding="reflect")
+    got = np.asarray(m.apply({}, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+@pytest.mark.skipif(_tfasr_ref is None, reason="reference oracle unavailable")
+@pytest.mark.parametrize("kernel_size", [3, 4])
+def test_blurpool2d_golden_vs_reference_single_channel(kernel_size):
+    from tensorflowasr_tpu.models.layers.blurpool import BlurPool2D
+
+    ref_cls = _tfasr_ref.models.layers.blurpool.BlurPool2D
+    x = np.random.default_rng(1).standard_normal((2, 9, 11, 1)).astype(np.float32)
+
+    ref = ref_cls(filters=1, kernel_size=kernel_size, strides=2, padding="reflect")
+    want = np.asarray(ref(x))
+
+    m = BlurPool2D(kernel_size=kernel_size, strides=2, padding="reflect")
+    got = np.asarray(m.apply({}, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_blurpool1d_multichannel_is_depthwise():
+    """Channels never mix (the upstream antialiased-cnns semantics; the
+    reference port sums channels — a documented deviation)."""
+    from tensorflowasr_tpu.models.layers.blurpool import BlurPool1D
+
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((1, 10, 3)).astype(np.float32)
+    m = BlurPool1D(kernel_size=4, strides=2)
+    full = np.asarray(m.apply({}, jnp.asarray(x)))
+    m1 = BlurPool1D(kernel_size=4, strides=2)
+    for c in range(3):
+        solo = np.asarray(m1.apply({}, jnp.asarray(x[..., c : c + 1])))
+        np.testing.assert_allclose(full[..., c : c + 1], solo, atol=1e-6)
+
+
+def test_sequence_batch_norm_golden_vs_reference_dense():
+    """On fully-dense (no padding, no zero elements) input our masked
+    moments equal the reference's count_nonzero-corrected moments
+    (reference models/layers/sequence_wise_bn.py:55-73; the class itself no
+    longer runs under current Keras — ``keras.backend.dtype`` was removed —
+    so the golden is its formula: moments over (B,T), scaled by
+    padded/nonzero counts, normalized with beta=0/gamma=1, eps=1e-7).
+    On dense input the count correction is a no-op."""
+    from tensorflowasr_tpu.models.layers.sequence_bn import SequenceBatchNorm
+
+    rng = np.random.default_rng(3)
+    x = (rng.standard_normal((3, 7, 5)) + 0.5).astype(np.float32)
+
+    mean = x.mean(axis=(0, 1))
+    var = x.var(axis=(0, 1))
+    nonzero = np.count_nonzero(x, axis=(0, 1)).astype(np.float32)
+    total = float(x.shape[0] * x.shape[1])
+    mean = mean * total / nonzero
+    var = var * total / nonzero
+    want = (x - mean) / np.sqrt(var + 1e-7)
+
+    m = SequenceBatchNorm(epsilon=1e-7)  # keras.backend.epsilon()
+    v = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    got = np.asarray(m.apply(v, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_sequence_batch_norm_masked_ignores_padding():
+    """Masked moments: normalizing a padded batch must equal normalizing
+    the valid region alone."""
+    from tensorflowasr_tpu.models.layers.sequence_bn import SequenceBatchNorm
+
+    rng = np.random.default_rng(4)
+    xv = rng.standard_normal((2, 5, 3)).astype(np.float32)
+    xp = np.concatenate([xv, np.zeros((2, 4, 3), np.float32)], axis=1)
+
+    m = SequenceBatchNorm()
+    v = m.init(jax.random.PRNGKey(0), jnp.asarray(xv))
+    dense = np.asarray(m.apply(v, jnp.asarray(xv)))
+    masked = np.asarray(m.apply(v, jnp.asarray(xp), lengths=jnp.asarray([5, 5])))
+    np.testing.assert_allclose(masked[:, :5], dense, atol=1e-5)
