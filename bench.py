@@ -63,54 +63,67 @@ def bench_train(batch_sizes=(4, 8, 16), audio_secs=16.0, u_len=128):
 
     results = {}
     for bs in batch_sizes:
-        def make_batch(seed):
-            r = np.random.default_rng(seed)
-            return schemas.TrainData(
-                inputs=schemas.TrainInput(
-                    inputs=jnp.asarray(r.standard_normal((bs, nsamples)) * 0.1, jnp.float32),
-                    inputs_length=jnp.full((bs,), nsamples, jnp.int32),
-                    predictions=jnp.asarray(np.pad(r.integers(1, vocab, (bs, u_len)), ((0, 0), (1, 0))), jnp.int32),
-                    predictions_length=jnp.full((bs,), u_len + 1, jnp.int32),
-                ),
-                labels=schemas.TrainLabel(
-                    labels=jnp.asarray(r.integers(1, vocab, (bs, u_len)), jnp.int32),
-                    labels_length=jnp.full((bs,), u_len, jnp.int32),
-                ),
-            )
-
-        batch = make_batch(0)
-        tx = build_optimizer({"class_name": "Adam", "config": {"learning_rate": 1e-4}}, ga_steps=1)
-        trainer = Trainer(model, tx)
-        state = trainer.init_state(batch)
-        state, metrics = trainer.train_step(state, batch)  # compile
-        float(metrics["loss"])
-
-        flops = None
         try:
-            ca = trainer._train_step.lower(state, batch).compile().cost_analysis()
-            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-            flops = float(ca.get("flops", 0.0)) or None
-        except Exception:
-            flops = None
-
-        iters = 5
-        times = []
-        for i in range(1, iters + 1):
-            b = make_batch(i)
-            t0 = time.perf_counter()
-            state, metrics = trainer.train_step(state, b)
-            float(metrics["loss"])  # device→host fetch forces completion
-            times.append(time.perf_counter() - t0)
-        dt = float(np.median(times))
-        entry = {
-            "step_ms": round(dt * 1e3, 2),
-            "utt_per_sec": round(bs / dt, 2),
-            "train_x_realtime": round(bs * audio_secs / dt, 1),
-        }
-        if flops:
-            entry["mfu_pct"] = round(100.0 * flops / dt / peak, 2)
-        results[f"bs{bs}"] = entry
+            results[f"bs{bs}"] = _bench_train_one(bs, nsamples, audio_secs, u_len, vocab, model, peak)
+        except Exception as e:  # one batch size must not sink the others
+            results[f"bs{bs}"] = {"error": f"{type(e).__name__}: {e}"}
     return results
+
+
+def _bench_train_one(bs, nsamples, audio_secs, u_len, vocab, model, peak):
+    import jax.numpy as jnp
+
+    from tensorflowasr_tpu import schemas
+    from tensorflowasr_tpu.optimizers import build_optimizer
+    from tensorflowasr_tpu.training import Trainer
+
+    def make_batch(seed):
+        r = np.random.default_rng(seed)
+        return schemas.TrainData(
+            inputs=schemas.TrainInput(
+                inputs=jnp.asarray(r.standard_normal((bs, nsamples)) * 0.1, jnp.float32),
+                inputs_length=jnp.full((bs,), nsamples, jnp.int32),
+                predictions=jnp.asarray(np.pad(r.integers(1, vocab, (bs, u_len)), ((0, 0), (1, 0))), jnp.int32),
+                predictions_length=jnp.full((bs,), u_len + 1, jnp.int32),
+            ),
+            labels=schemas.TrainLabel(
+                labels=jnp.asarray(r.integers(1, vocab, (bs, u_len)), jnp.int32),
+                labels_length=jnp.full((bs,), u_len, jnp.int32),
+            ),
+        )
+
+    batch = make_batch(0)
+    tx = build_optimizer({"class_name": "Adam", "config": {"learning_rate": 1e-4}}, ga_steps=1)
+    trainer = Trainer(model, tx)
+    state = trainer.init_state(batch)
+    state, metrics = trainer.train_step(state, batch)  # compile
+    float(metrics["loss"])
+
+    flops = None
+    try:
+        ca = trainer._train_step.lower(state, batch).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        flops = None
+
+    iters = 5
+    times = []
+    for i in range(1, iters + 1):
+        b = make_batch(i)
+        t0 = time.perf_counter()
+        state, metrics = trainer.train_step(state, b)
+        float(metrics["loss"])  # device→host fetch forces completion
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    entry = {
+        "step_ms": round(dt * 1e3, 2),
+        "utt_per_sec": round(bs / dt, 2),
+        "train_x_realtime": round(bs * audio_secs / dt, 1),
+    }
+    if flops:
+        entry["mfu_pct"] = round(100.0 * flops / dt / peak, 2)
+    return entry
 
 
 def main():

