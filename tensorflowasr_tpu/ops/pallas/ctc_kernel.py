@@ -152,7 +152,9 @@ def _prep(logits, labels, blank):
     lse = jax.nn.logsumexp(logits, axis=-1)  # [B,T]
     # extended state labels: even → blank, odd s=2k+1 → labels[k]
     onehot = jax.nn.one_hot(labels.astype(jnp.int32), vocab, dtype=logits.dtype)  # [B,U,V]
-    sel = jnp.sum(logits[:, :, None, :] * onehot[:, None, :, :], axis=-1)  # [B,T,U] label logits
+    # batched GEMM contracting V (MXU) — a [B,T,U,V] broadcast-multiply here
+    # compiles pathologically slowly on the remote TPU compiler at scale
+    sel = jax.lax.dot_general(logits, onehot, (((2,), (2,)), ((0,), (0,))))  # [B,T,U] label logits
     lp_lab = sel - lse[:, :, None]
     lp_blank = logits[..., blank] - lse  # [B,T]
 
@@ -206,9 +208,12 @@ def _ctc_bwd(blank, interpret, residuals, g):
     gsum = g_blank + jnp.sum(g_lab, axis=-1)  # [B,T]
 
     onehot_blank = jax.nn.one_hot(jnp.zeros((), jnp.int32), vocab, dtype=jnp.float32)  # [V]
+    # scatter the U label-occupancy grads into V bins as a batched GEMM
+    # contracting U (MXU) — not as a [B,T,U,V] broadcast-sum (see _prep)
+    w_lab = jax.lax.dot_general(g_lab, onehot.astype(jnp.float32), (((2,), (1,)), ((0,), (0,))))  # [B,T,V]
     d = (
         g_blank[..., None] * onehot_blank[None, None, :]
-        + jnp.sum(g_lab[..., None] * onehot[:, None, :, :], axis=2)
+        + w_lab
         - softmax * gsum[..., None]
     )
     d = d * g[:, None, None]

@@ -54,23 +54,40 @@ def _padded_lanes(u1: int) -> int:
 
 
 def _skew(x: jax.Array, num_diags: int) -> jax.Array:
-    """[B, T, U1] → [B, D, U1p] with out[b, d, u] = x[b, d-u, u] (else LOG_0)."""
+    """[B, T, U1] → [B, D, U1p] with out[b, d, u] = x[b, d-u, u] (else LOG_0).
+
+    Implemented with the pad+flatten+reshape shift trick (each row of the
+    transposed tensor shifts right by its row index) — NO gather ops. XLA
+    gathers with [D, U1p] index arrays execute catastrophically slowly on
+    this TPU stack (measured 31 s at B=4, 207 s at B=8 standalone) and blow
+    up compile times when fused; the reshape formulation is plain copies.
+    """
     b, t, u1 = x.shape
     u1p = _padded_lanes(u1)
-    d_idx = jnp.arange(num_diags)[:, None]
-    u_idx = jnp.arange(u1p)[None, :]
-    t_idx = d_idx - u_idx  # [D, U1p]
-    valid = (t_idx >= 0) & (t_idx < t) & (u_idx < u1)
-    xp = jnp.pad(x, ((0, 0), (0, 0), (0, u1p - u1)), constant_values=LOG_0)
-    gathered = xp[:, jnp.clip(t_idx, 0, t - 1), jnp.minimum(u_idx, u1p - 1)]
-    return jnp.where(valid[None], gathered, NEG)
+    # [B, U1p, T] with NEG in the padded lanes
+    y = jnp.pad(x, ((0, 0), (0, 0), (0, u1p - u1)), constant_values=NEG)
+    y = jnp.swapaxes(y, 1, 2)
+    # Pad rows to width W, flatten, re-window at width W-1: the flat index
+    # u*(W-1) + d lands on y[u, d-u], with all out-of-range cells reading the
+    # NEG padding (requires W >= t + u1p so underflows hit the previous row's
+    # pad tail, and W - 1 >= num_diags so the slice below is in range).
+    w = t + max(u1p, u1 + 1)
+    y = jnp.pad(y, ((0, 0), (0, 0), (0, w - t)), constant_values=NEG)
+    z = y.reshape(b, u1p * w)[:, : u1p * (w - 1)].reshape(b, u1p, w - 1)
+    return jnp.swapaxes(z[:, :, :num_diags], 1, 2)
 
 
 def _unskew(g: jax.Array, t: int, u1: int) -> jax.Array:
-    """[B, D, U1p] → [B, T, U1] with out[b, t, u] = g[b, t+u, u]."""
-    t_idx = jnp.arange(t)[:, None]
-    u_idx = jnp.arange(u1)[None, :]
-    return g[:, t_idx + u_idx, u_idx]
+    """[B, D, U1p] → [B, T, U1] with out[b, t, u] = g[b, t+u, u].
+
+    Inverse shift via the same flatten/re-window trick (rows shift LEFT by
+    their row index): flat index u*(D+1) + c reads gT[u, c+u]. No gathers.
+    """
+    b, d_total, u1p = g.shape
+    gt = jnp.swapaxes(g, 1, 2).reshape(b, u1p * d_total)  # [B, U1p*D]
+    gt = jnp.pad(gt, ((0, 0), (0, u1p)))
+    z = gt.reshape(b, u1p, d_total + 1)[:, :u1, :t]  # z[b, u, c] = gT[b, u, c+u]
+    return jnp.swapaxes(z, 1, 2)
 
 
 def _rnnt_kernel(
@@ -232,18 +249,123 @@ def _rnnt_bwd(interpret, residuals, g):
 rnnt_loss_from_logprobs.defvjp(_rnnt_fwd, _rnnt_bwd)
 
 
-def _logits_to_logprobs(logits, labels):
-    """logits [B,T,U1,V] → (lp_blank [B,T,U1], lp_emit [B,T,U1], lse [B,T,U1])."""
-    max_u = logits.shape[2] - 1
-    vocab = logits.shape[-1]
-    lse = jax.nn.logsumexp(logits, axis=-1)  # [B,T,U1]
-    lp_blank = logits[..., 0] - lse
-    onehot = jax.nn.one_hot(labels.astype(jnp.int32), vocab, dtype=logits.dtype)  # [B, U, V]
-    # explicit multiply+reduce along the minor (V) axis; take_along_axis or
-    # einsum here makes XLA pick a batch-minor layout with 32x padding on TPU
-    sel = jnp.sum(logits[:, :, :max_u, :] * onehot[:, None, :, :], axis=-1)
-    lp_emit = jnp.pad(sel - lse[:, :, :max_u], ((0, 0), (0, 0), (0, 1)), constant_values=LOG_0)
-    return lp_blank, lp_emit, lse
+# --------------------------------------------------------------------------- #
+# Flattened row-block kernels over the [B*T*U1, V] view of the joint logits.
+#
+# Everything [B,T,U1,V]-shaped is done HERE, in two tiny Pallas kernels, and
+# never as XLA 4-D broadcast arithmetic: the remote TPU compiler takes minutes
+# (B=4: 121 s) and then times out/faults at B>=8 on the equivalent fused XLA
+# elementwise program, while these kernels compile in seconds at any batch.
+# --------------------------------------------------------------------------- #
+
+
+def _row_block(vp: int) -> int:
+    """Rows per grid step: ~2M f32 elements of VMEM per buffer, 8..1024."""
+    return max(8, min(1024, (1 << 21) // max(vp, 1) // 8 * 8))
+
+
+def _padded_vocab(v: int) -> int:
+    vp = round_up(v, 128)
+    return 512 if vp == 384 else vp  # same 384-lane hang avoidance as lanes
+
+
+def _logprob_kernel(x_ref, lab_ref, lpb_ref, lpe_ref, lse_ref):
+    x = x_ref[...].astype(jnp.float32)  # [BLK, Vp]; V-padding holds NEG
+    m = jnp.max(x, axis=1, keepdims=True)
+    lse = m + jnp.log(jnp.sum(jnp.exp(x - m), axis=1, keepdims=True))
+    lab = lab_ref[...]  # [BLK, 1] int32; -1 marks the u == U column
+    v_iota = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    sel = jnp.sum(jnp.where(v_iota == lab, x, 0.0), axis=1, keepdims=True)
+    lse_ref[...] = lse
+    lpb_ref[...] = x[:, 0:1] - lse
+    lpe_ref[...] = jnp.where(lab >= 0, sel - lse, NEG)
+
+
+def _dlogits_kernel(x_ref, lse_ref, gbl_ref, gem_ref, lab_ref, gs_ref, out_ref):
+    x = x_ref[...].astype(jnp.float32)
+    lse = lse_ref[...]  # [BLK, 1]
+    gbl = gbl_ref[...]
+    gem = gem_ref[...]
+    lab = lab_ref[...]
+    gs = gs_ref[...]
+    v_iota = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    softmax = jnp.exp(x - lse)
+    d = (
+        jnp.where(v_iota == 0, gbl, 0.0)
+        + jnp.where(v_iota == lab, gem, 0.0)
+        - softmax * (gbl + gem)
+    )
+    out_ref[...] = (d * gs).astype(out_ref.dtype)
+
+
+def _rows_view(logits, labels):
+    """[B,T,U1,V] logits → ([Rp, Vp] padded 2-D view, [Rp, 1] label ids, meta).
+
+    The flatten of the three major dims is layout-free; only the V pad and a
+    row pad to the block size copy. Label column u holds labels[b, u] for
+    u < U and -1 for the final (emit-impossible) column.
+    """
+    b, t, u1, v = logits.shape
+    vp = _padded_vocab(v)
+    rows = b * t * u1
+    blk = _row_block(vp)
+    rp = round_up(rows, blk)
+    x2 = logits.reshape(rows, v)
+    x2 = jnp.pad(x2, ((0, rp - rows), (0, vp - v)), constant_values=NEG)
+    lab_col = jnp.pad(labels.astype(jnp.int32), ((0, 0), (0, 1)), constant_values=-1)  # [B, U1]
+    lab_rows = jnp.broadcast_to(lab_col[:, None, :], (b, t, u1)).reshape(rows, 1)
+    lab_rows = jnp.pad(lab_rows, ((0, rp - rows), (0, 0)), constant_values=-1)
+    return x2, lab_rows, (rows, rp, vp, blk)
+
+
+def _logits_to_logprobs(logits, labels, interpret):
+    """logits [B,T,U1,V] → (lp_blank [B,T,U1], lp_emit [B,T,U1], lse [B,T,U1]).
+
+    One row-block Pallas pass; lp_emit[..., U] = LOG_0 (no emit past the last
+    label), matching the lattice convention of the DP kernel.
+    """
+    b, t, u1, v = logits.shape
+    x2, lab_rows, (rows, rp, vp, blk) = _rows_view(logits, labels)
+    col = pl.BlockSpec((blk, 1), lambda r: (r, 0))
+    lpb, lpe, lse = pl.pallas_call(
+        _logprob_kernel,
+        grid=(rp // blk,),
+        in_specs=[pl.BlockSpec((blk, vp), lambda r: (r, 0)), col],
+        out_specs=[col, col, col],
+        out_shape=[jax.ShapeDtypeStruct((rp, 1), jnp.float32)] * 3,
+        interpret=interpret,
+    )(x2, lab_rows)
+    shape = (b, t, u1)
+    return (
+        lpb[:rows, 0].reshape(shape),
+        lpe[:rows, 0].reshape(shape),
+        lse[:rows, 0].reshape(shape),
+    )
+
+
+def _dlogits_assemble(logits, lse, gbl, gem, labels, g, interpret):
+    """Dense d loss / d logits [B,T,U1,V] from the occupancy grads, in one
+    row-block Pallas pass (chain rule through lp = selected_logit − lse):
+      d logits[v] = 1[v=0]·gbl + 1[v=lab]·gem − softmax[v]·(gbl+gem)
+    scaled by the upstream cotangent g[b]."""
+    b, t, u1, v = logits.shape
+    x2, lab_rows, (rows, rp, vp, blk) = _rows_view(logits, labels)
+
+    def rows_of(a):  # [B,T,U1] f32 → [Rp, 1]
+        r = a.astype(jnp.float32).reshape(rows, 1)
+        return jnp.pad(r, ((0, rp - rows), (0, 0)))
+
+    gs = jnp.broadcast_to(g.astype(jnp.float32)[:, None, None], (b, t, u1))
+    col = pl.BlockSpec((blk, 1), lambda r: (r, 0))
+    out = pl.pallas_call(
+        _dlogits_kernel,
+        grid=(rp // blk,),
+        in_specs=[pl.BlockSpec((blk, vp), lambda r: (r, 0)), col, col, col, col, col],
+        out_specs=pl.BlockSpec((blk, vp), lambda r: (r, 0)),
+        out_shape=jax.ShapeDtypeStruct((rp, vp), logits.dtype),
+        interpret=interpret,
+    )(x2, rows_of(lse), rows_of(gbl), rows_of(gem), lab_rows, rows_of(gs))
+    return out[:rows, :v].reshape(b, t, u1, v)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
@@ -264,9 +386,8 @@ def rnnt_loss_pallas(
 
 
 def _rnnt_logits_fwd_impl(logits, logit_length, labels, label_length, interpret):
-    if logits.dtype in (jnp.float16, jnp.bfloat16):
-        logits = logits.astype(jnp.float32)
-    lp_blank, lp_emit, lse = _logits_to_logprobs(logits, labels)
+    interpret = interpret or jax.default_backend() == "cpu"
+    lp_blank, lp_emit, lse = _logits_to_logprobs(logits, labels, interpret)
     loss, gbl_skew, gem2_skew = _rnnt_forward(lp_blank, lp_emit, logit_length, label_length, interpret)
     t, u1 = lp_blank.shape[1], lp_blank.shape[2]
     gbl = _unskew(gbl_skew, t, u1)  # dL/d lp_blank  [B,T,U1]
@@ -276,34 +397,17 @@ def _rnnt_logits_fwd_impl(logits, logit_length, labels, label_length, interpret)
 
 def _rnnt_logits_fwd(logits, logit_length, labels, label_length, blank, interpret):
     assert blank == 0
+    # residuals keep the logits in their ORIGINAL dtype (bf16 halves the
+    # dominant [B,T,U1,V] residual); the bwd kernel upcasts per block
     loss, (_, lse, gbl, gem) = _rnnt_logits_fwd_impl(logits, logit_length, labels, label_length, interpret)
     return loss, (logits, lse, gbl, gem, labels)
 
 
 def _rnnt_logits_bwd(blank, interpret, residuals, g):
     logits, lse, gbl, gem, labels = residuals
-    # keep the dense-gradient assembly in its own fusion island: fusing it
-    # with the pallas-call producers crashes the TPU backend at large T/U
-    logits, lse, gbl, gem = jax.lax.optimization_barrier((logits, lse, gbl, gem))
-    logits32 = logits.astype(jnp.float32)
-    vocab = logits32.shape[-1]
-    max_u = logits32.shape[2] - 1
-    # chain rule through lp = selected_logit - lse:
-    #   d logits[v] = onehot_sel[v]·g_lp − softmax[v]·g_lp
-    softmax = jnp.exp(logits32 - lse[..., None])  # [B,T,U1,V]
-    gsum = gbl + gem  # [B,T,U1]
-    # pure broadcast arithmetic — .at[].add scatters here trigger the same
-    # pathological batch-minor layouts in XLA as take_along_axis
-    onehot_blank = jax.nn.one_hot(jnp.zeros((), jnp.int32), vocab, dtype=logits32.dtype)  # [V]
-    onehot = jax.nn.one_hot(labels.astype(jnp.int32), vocab, dtype=logits32.dtype)  # [B,U,V]
-    onehot_u1 = jnp.pad(onehot, ((0, 0), (0, 1), (0, 0)))  # [B,U1,V]; gem[:, :, U] == 0
-    d = (
-        gbl[..., None] * onehot_blank[None, None, None, :]
-        + gem[..., None] * onehot_u1[:, None, :, :]
-        - softmax * gsum[..., None]
-    )
-    d = d * g[:, None, None, None]
-    return d.astype(logits.dtype), None, None, None
+    interpret = interpret or jax.default_backend() == "cpu"
+    d = _dlogits_assemble(logits, lse, gbl, gem, labels, g, interpret)
+    return d, None, None, None
 
 
 rnnt_loss_pallas.defvjp(_rnnt_logits_fwd, _rnnt_logits_bwd)
