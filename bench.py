@@ -18,6 +18,7 @@ Conformer-S, so vs_baseline = value / 10.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import time
@@ -70,52 +71,78 @@ def bench_train(batch_sizes=(4, 8, 16), audio_secs=16.0, u_len=128):
     return results
 
 
-def _bench_train_one(bs, nsamples, audio_secs, u_len, vocab, model, peak):
+def _bench_train_one(bs, nsamples, audio_secs, u_len, vocab, model, peak, scan_steps=8):
+    """One batch size: scan ``scan_steps`` full train steps inside ONE jit
+    dispatch. The tunneled accelerator in this environment adds a variable
+    ~40-120 ms of relay latency to every host→device call, which at real step
+    times (~100 ms) would dominate a per-call measurement; scanning K steps
+    on-device amortizes it to noise. Batches are generated ON device
+    (jax.random) — host transfers of the stacked audio would crawl through
+    the relay — and vary per step so runtime result-caching cannot fire.
+    FLOPs come from client-side HLO cost analysis (no second backend compile).
+    """
+    import jax
     import jax.numpy as jnp
 
     from tensorflowasr_tpu import schemas
     from tensorflowasr_tpu.optimizers import build_optimizer
     from tensorflowasr_tpu.training import Trainer
+    from tensorflowasr_tpu.training.trainer import make_train_step
 
-    def make_batch(seed):
-        r = np.random.default_rng(seed)
+    def make_batches(seed, k):
+        """[K, ...]-stacked TrainData, generated on device."""
+        kk = jax.random.split(jax.random.PRNGKey(seed), 3)
         return schemas.TrainData(
             inputs=schemas.TrainInput(
-                inputs=jnp.asarray(r.standard_normal((bs, nsamples)) * 0.1, jnp.float32),
-                inputs_length=jnp.full((bs,), nsamples, jnp.int32),
-                predictions=jnp.asarray(np.pad(r.integers(1, vocab, (bs, u_len)), ((0, 0), (1, 0))), jnp.int32),
-                predictions_length=jnp.full((bs,), u_len + 1, jnp.int32),
+                inputs=jax.random.normal(kk[0], (k, bs, nsamples), jnp.float32) * 0.1,
+                inputs_length=jnp.full((k, bs), nsamples, jnp.int32),
+                predictions=jnp.pad(
+                    jax.random.randint(kk[1], (k, bs, u_len), 1, vocab, jnp.int32), ((0, 0), (0, 0), (1, 0))
+                ),
+                predictions_length=jnp.full((k, bs), u_len + 1, jnp.int32),
             ),
             labels=schemas.TrainLabel(
-                labels=jnp.asarray(r.integers(1, vocab, (bs, u_len)), jnp.int32),
-                labels_length=jnp.full((bs,), u_len, jnp.int32),
+                labels=jax.random.randint(kk[2], (k, bs, u_len), 1, vocab, jnp.int32),
+                labels_length=jnp.full((k, bs), u_len, jnp.int32),
             ),
         )
 
-    batch = make_batch(0)
     tx = build_optimizer({"class_name": "Adam", "config": {"learning_rate": 1e-4}}, ga_steps=1)
     trainer = Trainer(model, tx)
-    state = trainer.init_state(batch)
-    state, metrics = trainer.train_step(state, batch)  # compile
-    float(metrics["loss"])
+    step_fn = make_train_step(model, tx)
+
+    one = jax.tree.map(lambda x: x[0], make_batches(0, 1))
+    state = trainer.init_state(one)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def multi(state, batches):
+        def body(s, b):
+            s2, metrics = step_fn(s, b)
+            return s2, metrics["loss"]
+
+        return jax.lax.scan(body, state, batches)
 
     flops = None
+    batches = make_batches(1, scan_steps)
     try:
-        ca = trainer._train_step.lower(state, batch).compile().cost_analysis()
+        ca = multi.lower(state, batches).cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-        flops = float(ca.get("flops", 0.0)) or None
+        total = float(ca.get("flops", 0.0))
+        flops = total / scan_steps if total > 0 else None
     except Exception:
         flops = None
 
-    iters = 5
+    state, losses = multi(state, batches)  # compile + warmup
+    float(np.asarray(losses)[-1])
+
     times = []
-    for i in range(1, iters + 1):
-        b = make_batch(i)
+    for i in range(2, 5):
+        b = make_batches(i, scan_steps)
         t0 = time.perf_counter()
-        state, metrics = trainer.train_step(state, b)
-        float(metrics["loss"])  # device→host fetch forces completion
+        state, losses = multi(state, b)
+        float(np.asarray(losses)[-1])  # device→host fetch forces completion
         times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
+    dt = float(np.median(times)) / scan_steps
     entry = {
         "step_ms": round(dt * 1e3, 2),
         "utt_per_sec": round(bs / dt, 2),
