@@ -248,7 +248,10 @@ def transducer_beam_search_decode(
 class _WindLoopState(NamedTuple):
     frame_idx: jax.Array  # [B]
     prev_tokens: jax.Array  # [B]
-    decoder_states: tuple
+    decoder_states: tuple  # states AFTER consuming prev_tokens (scoring states)
+    lag_states: tuple  # states BEFORE consuming prev_tokens (the carry-out
+    #   convention shared with the sync/beam paths: the next call's
+    #   pred_step(prev_tokens, lag_states) re-derives decoder_states)
     pred_out: jax.Array  # [B, P] cached prediction-net output
     tokens: jax.Array  # [B, max_tokens]
     token_idx: jax.Array  # [B]
@@ -287,6 +290,7 @@ def transducer_greedy_decode_wind(
         frame_idx=jnp.zeros((batch,), jnp.int32),
         prev_tokens=jnp.asarray(initial_tokens, jnp.int32),
         decoder_states=states0,
+        lag_states=initial_states,
         pred_out=pred0,
         tokens=jnp.full((batch, max_tokens), blank, jnp.int32),
         token_idx=jnp.zeros((batch,), jnp.int32),
@@ -333,12 +337,17 @@ def transducer_greedy_decode_wind(
         prev_tokens = jnp.where(emits, tok, s.prev_tokens)
         frame_idx = jnp.where(done, s.frame_idx, advance_to)
 
-        # prediction-net step only where a token was emitted
+        # prediction-net step only where a token was emitted; the pre-step
+        # states become the lagged carry-out for that example
         new_pred, new_states = pred_step_fn(prev_tokens, s.decoder_states)
         sel = lambda new, old: jnp.where(emits.reshape((batch,) + (1,) * (new.ndim - 1)), new, old)
         pred_out = sel(new_pred, s.pred_out)
+        lag_states = jax.tree_util.tree_map(sel, s.decoder_states, s.lag_states)
         decoder_states = jax.tree_util.tree_map(sel, new_states, s.decoder_states)
-        return _WindLoopState(frame_idx, prev_tokens, decoder_states, pred_out, tokens, token_idx, s.step + 1)
+        return _WindLoopState(frame_idx, prev_tokens, decoder_states, lag_states, pred_out, tokens, token_idx, s.step + 1)
 
     final = jax.lax.while_loop(cond, body, init)
-    return final.tokens, final.token_idx, final.prev_tokens, final.decoder_states
+    # carry out (prev_tokens, lag_states): the same "last token not yet
+    # consumed" convention as the sync and beam paths, so the next chunk's
+    # init pred_step re-consumes it exactly once (not twice)
+    return final.tokens, final.token_idx, final.prev_tokens, final.lag_states

@@ -208,3 +208,82 @@ def test_transducer_greedy_max_symbols_per_frame():
     )
     # 2 symbols per frame × 3 frames
     assert int(lengths[0]) == 6
+
+
+# ------------------------------- WIND decode ------------------------------- #
+
+
+def _toy_rnn_pred(vocab=6, pdim=5, seed=3):
+    """A tiny stateful toy prediction net: state' = tanh(A·state + embed[tok]),
+    pred_out = state'. Decisions depend on the FULL consumed-token history, so
+    any chunk-boundary state mishandling (double/zero consumption of the
+    carried token) changes downstream tokens."""
+    r = np.random.default_rng(seed)
+    a = jnp.asarray(r.standard_normal((pdim, pdim)) * 0.5, jnp.float32)
+    embed = jnp.asarray(r.standard_normal((vocab, pdim)), jnp.float32)
+    wj = jnp.asarray(r.standard_normal((pdim, vocab)) * 2.0, jnp.float32)
+
+    def pred_step_fn(tok, states):
+        (s,) = states
+        s2 = jnp.tanh(s @ a.T + embed[tok])
+        return s2, (s2,)
+
+    def joint_window_fn(enc_win, pred_out):
+        return enc_win + (pred_out @ wj)[:, None, :]
+
+    def step_fn(enc_frame, prev_tokens, states):
+        pred, st = pred_step_fn(prev_tokens, states)
+        return joint_window_fn(enc_frame[:, None, :], pred)[:, 0], st
+
+    return pred_step_fn, joint_window_fn, step_fn, pdim
+
+
+def test_wind_equals_sync_greedy():
+    vocab = 6
+    pred_step_fn, joint_window_fn, step_fn, pdim = _toy_rnn_pred(vocab)
+    enc_np0 = np.random.default_rng(0).standard_normal((2, 14, vocab)) * 3.0
+    enc_np0[:, :, 0] += 2.0
+    enc = jnp.asarray(enc_np0, jnp.float32)
+    lens = jnp.asarray([14, 9])
+    tok0 = jnp.zeros((2,), jnp.int32)
+    st0 = (jnp.zeros((2, pdim)),)
+    wt, wl, wn, ws = transducer_decode.transducer_greedy_decode_wind(
+        enc, lens, pred_step_fn, joint_window_fn, tok0, st0, window=4
+    )
+    gt, gl, gn, gs = transducer_decode.transducer_greedy_decode(enc, lens, step_fn, tok0, st0)
+    np.testing.assert_array_equal(np.asarray(wl), np.asarray(gl))
+    for b in range(2):
+        np.testing.assert_array_equal(np.asarray(wt[b, : int(wl[b])]), np.asarray(gt[b, : int(gl[b])]))
+    np.testing.assert_array_equal(np.asarray(wn), np.asarray(gn))
+    np.testing.assert_allclose(np.asarray(ws[0]), np.asarray(gs[0]), rtol=1e-6)
+
+
+def test_wind_streaming_chunks_equal_full_exactly():
+    """Chunked WIND with carried (token, states) == full-utterance WIND,
+    token-for-token AND state-for-state. Catches the carry-out convention
+    bug where the chunk boundary re-consumes the last emitted token."""
+    vocab = 6
+    pred_step_fn, joint_window_fn, _, pdim = _toy_rnn_pred(vocab)
+    for seed, bias in ((5, 4.0), (7, 4.5)):
+        enc_np = np.random.default_rng(seed).standard_normal((1, 16, vocab)) * 3.0
+        enc_np[:, :, 0] += bias  # bias toward blank: sparse emissions keep every
+        # per-chunk token budget slack, so chunked == full is exact, not capped
+        enc = jnp.asarray(enc_np, jnp.float32)
+
+        ft, fl, fn_, fs = transducer_decode.transducer_greedy_decode_wind(
+            enc, jnp.asarray([16]), pred_step_fn, joint_window_fn, jnp.zeros((1,), jnp.int32), (jnp.zeros((1, pdim)),), window=4
+        )
+        full = np.asarray(ft[0, : int(fl[0])]).tolist()
+
+        got = []
+        tok = jnp.zeros((1,), jnp.int32)
+        st = (jnp.zeros((1, pdim)),)
+        for lo, hi in ((0, 6), (6, 16)):
+            ct, cl, tok, st = transducer_decode.transducer_greedy_decode_wind(
+                enc[:, lo:hi], jnp.asarray([hi - lo]), pred_step_fn, joint_window_fn, tok, st, window=4
+            )
+            got.extend(np.asarray(ct[0, : int(cl[0])]).tolist())
+
+        assert got == full, (seed, got, full)
+        assert int(tok[0]) == int(fn_[0])
+        np.testing.assert_allclose(np.asarray(st[0]), np.asarray(fs[0]), rtol=1e-6)
