@@ -125,7 +125,14 @@ def _bench_train_one(bs, nsamples, audio_secs, u_len, vocab, model, peak, scan_s
     flops = None
     batches = make_batches(1, scan_steps)
     try:
-        ca = multi.lower(state, batches).cost_analysis()
+        low = multi.lower(state, batches)
+        ca = low.cost_analysis()
+        if ca is None:  # the axon backend returns no client analysis; run
+            # XLA's HLO cost analysis against the in-process CPU client
+            from jax._src.lib import xla_client
+
+            cpu = jax._src.xla_bridge.get_backend("cpu")
+            ca = xla_client._xla.hlo_module_cost_analysis(cpu, low.compiler_ir("hlo").as_hlo_module())
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
         total = float(ca.get("flops", 0.0))
         flops = total / scan_steps if total > 0 else None
