@@ -25,6 +25,7 @@ def main(args):
     from tensorflowasr_tpu.utils import env_util
 
     env_util.setup_seed(42)
+    env_util.setup_check_numerics()
     config = common.load_config(args, training=True)
     tokenizer = common.build_tokenizer(config)
     model = common.build_model_from_config(config, tokenizer, mxp=args.mxp)
@@ -61,6 +62,13 @@ def main(args):
     sample = next(train_iter)
     train_iter = itertools.chain([sample], train_iter)  # don't drop the peeked batch
     state = trainer.init_state(sample)
+    if lc.pretrained:
+        # by-name, shape-checked warm start (reference scripts/train.py:97-102,
+        # Keras load_weights(by_name=True, skip_mismatch=True)); a later
+        # resume checkpoint still takes precedence below
+        from tensorflowasr_tpu.training.pretrained import warm_start
+
+        state = warm_start(state, lc.pretrained)
     state = trainer.restore(state)
 
     if getattr(args, "profile", None):

@@ -36,6 +36,20 @@ def setup_seed(seed: int = 42) -> jax.Array:
     return jax.random.PRNGKey(seed)
 
 
+def setup_check_numerics(env_var: str = "TFASR_CHECK_NUMERICS") -> bool:
+    """Enable NaN/Inf trapping inside jitted code when ``TFASR_CHECK_NUMERICS``
+    is truthy — the JAX-native equivalent of the reference's
+    ``tf.debugging.enable_check_numerics`` gated on ``TF_ENABLE_CHECK_NUMERIC``
+    (reference utils/env_util.py:25,48-49). Complements the TerminateOnNaN
+    callback: this traps at the failing op, the callback at the step level."""
+    if os.environ.get(env_var, "").lower() in ("1", "true", "yes"):
+        jax.config.update("jax_debug_nans", True)
+        jax.config.update("jax_debug_infs", True)
+        logger.info("check-numerics enabled (jax_debug_nans + jax_debug_infs)")
+        return True
+    return False
+
+
 def has_devices(kind: str = "tpu") -> bool:
     try:
         return any(d.platform.lower().startswith(kind.lower()) for d in jax.devices())

@@ -246,3 +246,71 @@ def test_edit_distance_on_device():
         assert got[b] == brute(list(refs[b, : rl[b]]), list(hyps[b, : hl[b]]))
     num, den = wer_on_device(jnp.asarray(refs), jnp.asarray(rl), jnp.asarray(hyps), jnp.asarray(hl))
     assert int(den) == rl.sum()
+
+
+# ------------------------------- warm start ----------------------------------- #
+
+
+def test_pretrained_warm_start(tiny_ctc_setup, tmp_path):
+    """By-name shape-checked weight loading (reference scripts/train.py:97-102
+    Keras load_weights(by_name=True, skip_mismatch=True) parity): matching
+    leaves restored, mismatched shapes skipped with init kept."""
+    import orbax.checkpoint as ocp
+
+    from tensorflowasr_tpu.training.pretrained import warm_start
+
+    model, batch = tiny_ctc_setup
+    tx = build_optimizer({"class_name": "Adam", "config": {"learning_rate": 1e-3}})
+    trainer = Trainer(model, tx)
+    state = trainer.init_state(batch, seed=0)
+
+    # source checkpoint: a save.py-style variables artifact from DIFFERENT init
+    donor = trainer.init_state(batch, seed=123)
+    donor_vars = {"params": jax.device_get(donor.params)}
+    path = tmp_path / "pretrained"
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(str(path), donor_vars)
+
+    state2 = warm_start(state, str(path))
+    # every leaf equals the donor now
+    for a, b in zip(jax.tree.leaves(state2.params), jax.tree.leaves(donor.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    # shape-mismatched donor: smaller vocab head → those leaves keep init
+    donor_small = jax.device_get(donor.params)
+    import flax
+
+    flat2 = flax.traverse_util.flatten_dict(donor_small)
+    changed = 0
+    for k in list(flat2):
+        if k[0] == "vocab":  # the CTC head
+            flat2[k] = flat2[k][..., :-1]
+            changed += 1
+    assert changed > 0
+    donor2 = {"params": flax.traverse_util.unflatten_dict(flat2)}
+    path2 = tmp_path / "pretrained2"
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(str(path2), donor2)
+    state3 = warm_start(state, str(path2))
+    f_init = flax.traverse_util.flatten_dict(jax.device_get(state.params))
+    f_new = flax.traverse_util.flatten_dict(jax.device_get(state3.params))
+    f_donor = flax.traverse_util.flatten_dict(donor_small)
+    for k in f_init:
+        if k[0] == "vocab":
+            np.testing.assert_allclose(f_new[k], f_init[k])  # kept init
+        else:
+            np.testing.assert_allclose(f_new[k], f_donor[k])  # loaded
+
+
+def test_check_numerics_env(monkeypatch):
+    from tensorflowasr_tpu.utils import env_util
+
+    monkeypatch.delenv("TFASR_CHECK_NUMERICS", raising=False)
+    assert env_util.setup_check_numerics() is False
+    monkeypatch.setenv("TFASR_CHECK_NUMERICS", "1")
+    try:
+        assert env_util.setup_check_numerics() is True
+        assert jax.config.jax_debug_nans
+    finally:
+        jax.config.update("jax_debug_nans", False)
+        jax.config.update("jax_debug_infs", False)
