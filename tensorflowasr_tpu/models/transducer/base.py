@@ -178,7 +178,11 @@ class Transducer(nn.Module):
         self.predict_net = TransducerPrediction(
             blank=self.blank, vocab_size=self.vocab_size, dtype=self.dtype, name="prediction", **self.prediction_config
         )
-        self.joint_net = TransducerJoint(vocab_size=self.vocab_size, dtype=self.dtype, name="joint", **self.joint_config)
+        jc = dict(self.joint_config)
+        # tensor-parallel override (parallel/tp.py): the joint's output
+        # features may be a LOCAL vocab shard while embeddings stay global
+        joint_vocab = jc.pop("vocab_size", self.vocab_size)
+        self.joint_net = TransducerJoint(vocab_size=joint_vocab, dtype=self.dtype, name="joint", **jc)
 
     @property
     def time_reduction_factor(self) -> int:

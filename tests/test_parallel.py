@@ -146,3 +146,135 @@ def test_multihost_batch_assembly_math():
     b = jax.device_put(x, sh)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert sharding.process_count() == 1
+
+
+# ------------------------- tensor parallel (vocab) --------------------------- #
+
+
+def _tiny_transducer(dropout=0.0):
+    from tensorflowasr_tpu.models.transducer.conformer import Conformer
+
+    return Conformer.from_config(
+        {
+            "speech_config": {"sample_rate": 16000, "frame_ms": 25, "stride_ms": 10, "nfft": 256, "num_feature_bins": 20},
+            "encoder_subsampling": {
+                "class_name": "tensorflow_asr.models.layers.subsampling>Conv2dSubsampling",
+                "config": {"filters": [8, 8], "kernels": [3, 3], "strides": [2, 2], "paddings": ["causal", "causal"], "norms": ["layer", "layer"], "activations": ["swish", "swish"]},
+            },
+            "encoder_dmodel": 16,
+            "encoder_num_blocks": 1,
+            "encoder_head_size": 4,
+            "encoder_num_heads": 2,
+            "encoder_mha_type": "relmha",
+            "encoder_kernel_size": 7,
+            "encoder_dropout": dropout,
+            "prediction_embed_dim": 8,
+            "prediction_num_rnns": 1,
+            "prediction_rnn_units": 8,
+            "joint_dim": 8,
+            "vocab_size": 24,
+        },
+        dtype=jnp.float32,
+    )
+
+
+def _tp_batch(b, seed=0, identical_rows=True):
+    from tensorflowasr_tpu import schemas
+
+    rng = np.random.default_rng(seed)
+    sig = rng.standard_normal((1, 1600)).astype(np.float32)
+    lab = rng.integers(1, 24, (1, 4)).astype(np.int32)
+    if identical_rows:
+        sig = np.repeat(sig, b, axis=0)
+        lab = np.repeat(lab, b, axis=0)
+    else:
+        sig = rng.standard_normal((b, 1600)).astype(np.float32)
+        lab = rng.integers(1, 24, (b, 4)).astype(np.int32)
+    return schemas.TrainData(
+        inputs=schemas.TrainInput(
+            inputs=jnp.asarray(sig),
+            inputs_length=jnp.full((b,), 1600, jnp.int32),
+            predictions=jnp.asarray(np.pad(lab, ((0, 0), (1, 0)))),
+            predictions_length=jnp.full((b,), 5, jnp.int32),
+        ),
+        labels=schemas.TrainLabel(labels=jnp.asarray(lab), labels_length=jnp.full((b,), 4, jnp.int32)),
+    )
+
+
+def test_tp_vocab_sharded_step_matches_dp():
+    """One train step on a (data=4, model=2) mesh with the joint vocab
+    projection column-sharded == the pure-DP step: same loss, same updated
+    params (identical batch rows keep the BatchNorm statistics comparable,
+    dropout off). Exercises pmax/psum LSE, owned-shard label selection, and
+    the data/model gradient reductions."""
+    from tensorflowasr_tpu.optimizers import build_optimizer
+    from tensorflowasr_tpu.parallel import tp
+    from tensorflowasr_tpu.training import Trainer
+
+    model = _tiny_transducer()
+    batch = _tp_batch(8)
+    # SGD: updates proportional to gradients, so the param comparison below
+    # is a gradient comparison (Adam's step-1 update is +-lr*sign(g), which
+    # amplifies fp noise on near-zero gradient entries into full-size diffs)
+    tx = build_optimizer({"class_name": "SGD", "config": {"learning_rate": 1e-2}})
+
+    # reference: pure DP over all 8 devices
+    trainer = Trainer(model, tx)
+    dp_state = trainer.init_state(batch, seed=7)
+    dp_params0 = jax.device_get(dp_state.params)
+    dp_bs0 = jax.device_get(dp_state.batch_stats)
+    dp_state2, dp_metrics = trainer.train_step(dp_state, batch)  # donates dp_state
+    dp_loss = float(dp_metrics["loss"])
+
+    # TP: (4 data) x (2 model) mesh, same init
+    mesh = tp.make_dp_tp_mesh(n_model=2)
+    from tensorflowasr_tpu.training.trainer import TrainState
+
+    state = TrainState.create({"params": dp_params0, "batch_stats": dp_bs0}, tx, jax.random.PRNGKey(7))
+    state = tp.shard_tp_state(state, mesh)
+    # vocab kernel is really sharded
+    vk = state.params["joint"]["vocab"]["kernel"]
+    assert "model" in str(vk.sharding.spec) or vk.sharding.spec == (None, "model")
+
+    step = tp.make_tp_train_step(model, tx, mesh)
+    state2, metrics = step(state, batch)
+    tp_loss = float(metrics["loss"])
+    np.testing.assert_allclose(tp_loss, dp_loss, rtol=2e-5, atol=2e-5)
+
+    # updated parameters agree (vocab kernel gathered back automatically on fetch)
+    import flax
+
+    f_dp = flax.traverse_util.flatten_dict(jax.device_get(dp_state2.params))
+    f_tp = flax.traverse_util.flatten_dict(jax.device_get(state2.params))
+    assert set(f_dp) == set(f_tp)
+    for k in f_dp:
+        np.testing.assert_allclose(f_tp[k], f_dp[k], rtol=2e-4, atol=2e-5, err_msg="/".join(k))
+
+
+def test_tp_loss_matches_unsharded_loss():
+    """tp_rnnt_loss under shard_map == rnnt_loss on the gathered logits."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from tensorflowasr_tpu.ops.rnnt_loss import rnnt_loss
+    from tensorflowasr_tpu.parallel import tp
+
+    B, T, U1, V = 4, 6, 5, 16
+    rng = np.random.default_rng(3)
+    logits = jnp.asarray(rng.standard_normal((B, T, U1, V)), jnp.float32)
+    labels = jnp.asarray(rng.integers(1, V, (B, U1 - 1)), jnp.int32)
+    tl = jnp.full((B,), T, jnp.int32)
+    ul = jnp.full((B,), U1 - 1, jnp.int32)
+
+    ref = rnnt_loss(logits, tl, labels, ul)
+
+    mesh = tp.make_dp_tp_mesh(n_model=4)
+    fn = shard_map(
+        lambda lg, t, lb, u: tp.tp_rnnt_loss(lg, t, lb, u, V),
+        mesh=mesh,
+        in_specs=(P("data", None, None, "model"), P("data"), P("data"), P("data")),
+        out_specs=P("data"),
+        check_rep=False,
+    )
+    got = jax.jit(fn)(logits, tl, labels, ul)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
