@@ -90,49 +90,87 @@ def _unskew(g: jax.Array, t: int, u1: int) -> jax.Array:
     return jnp.swapaxes(z, 1, 2)
 
 
-def _rnnt_kernel(
-    logit_len_ref,  # scalar prefetch [B]
-    label_len_ref,  # scalar prefetch [B]
-    bl_ref,  # [1, D, U1p] skewed lp_blank
-    em_ref,  # [1, D, U1p] skewed lp_emit (shifted: EM[d, u] = lp_emit[d-u, u-1])
-    gbl_ref,  # out [1, D, U1p]; row D-1 is never a valid lattice diagonal and
-    #           carries the scalar loss at column 0 (TPU blocks can't be 1x1)
-    gem2_ref,  # out [1, D, U1p] grads in EM2 coords (lp_emit[d-u, u])
-    alpha_ref,  # scratch [D, U1p]
-    beta_ref,  # scratch [D, U1p]
-):
-    b = pl.program_id(0)
-    t_len = logit_len_ref[b]
-    u_len = label_len_ref[b]
-    d_final = t_len - 1 + u_len
+def _group_size(d_total: int, u1p: int) -> int:
+    """Examples packed side-by-side into the lane dimension of one grid step.
 
-    d_total, u1p = alpha_ref.shape
-    u_row = jax.lax.broadcasted_iota(jnp.int32, (1, u1p), 1)
+    A [1, U1p] diagonal row uses at most 2 of the VPU's 8 sublane-rows of
+    lanes; packing G examples widens every row op to [1, G·U1p] for ~G×
+    utilization and cuts the sequential grid by G×. Bounded by VMEM: ~10
+    buffer-copies of [D, G·U1p] f32 must fit comfortably.
+    """
+    budget = 48 * 1024 * 1024
+    per_example = d_total * u1p * 4 * 10
+    g = 8
+    while g > 1 and g * per_example > budget:
+        g //= 2
+    return g
+
+
+def _rnnt_kernel(
+    logit_len_ref,  # scalar prefetch [Bp]
+    label_len_ref,  # scalar prefetch [Bp]
+    bl_ref,  # [1, D, G*U1p] skewed lp_blank, G examples packed into lanes
+    em_ref,  # [1, D, G*U1p] skewed lp_emit (shifted: EM[d, u] = lp_emit[d-u, u-1])
+    gbl_ref,  # out [1, D, G*U1p]; row D-1 is never a valid lattice diagonal
+    #           and carries each example's loss at its segment's column 0
+    gem2_ref,  # out [1, D, G*U1p] grads in EM2 coords (lp_emit[d-u, u])
+    alpha_ref,  # scratch [D, G*U1p]
+    beta_ref,  # scratch [D, G*U1p]
+    *,
+    group: int,
+    u1p: int,
+):
+    g0 = pl.program_id(0) * group
+    d_total, lanes = alpha_ref.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
+    u_row = jax.lax.rem(lane, u1p)  # per-segment label coordinate
+
+    # per-example lengths broadcast over each segment's lanes
+    t_len = jnp.concatenate([jnp.full((1, u1p), logit_len_ref[g0 + s], jnp.int32) for s in range(group)], axis=1)
+    u_len = jnp.concatenate([jnp.full((1, u1p), label_len_ref[g0 + s], jnp.int32) for s in range(group)], axis=1)
+    d_final = t_len - 1 + u_len  # [1, lanes]
 
     def cell_valid(d):
         t_of = d - u_row
         return (t_of >= 0) & (t_of < t_len) & (u_row <= u_len)
 
-    # ------------------------------ forward ------------------------------- #
-    alpha_ref[0:1, :] = jnp.where(u_row == 0, 0.0, NEG)
+    # NOTE on rolls: all shifts are global over the packed lanes, and every
+    # lane that would receive a value from the neighboring SEGMENT is
+    # exactly a lane with u_row == 0 (shift right) or u_row == u1p-1 (shift
+    # left) — which the existing boundary masks already force to NEG.
 
-    def fwd_body(d, _):
+    # ------------------------------ forward ------------------------------- #
+    row0 = jnp.where((u_row == 0) & cell_valid(0), 0.0, NEG)
+    alpha_ref[0:1, :] = row0
+    ll_sel = (u_row == u_len)  # exactly one lane per segment
+    ll_acc0 = jnp.where((d_final == 0) & ll_sel, row0 + bl_ref[0, 0:1, :], NEG)
+
+    def fwd_body(d, ll_acc):
         a_prev = alpha_ref[pl.ds(d - 1, 1), :]
         blank_term = a_prev + bl_ref[0, pl.ds(d - 1, 1), :]
         a_shift = pltpu.roll(a_prev, 1, 1)
         a_shift = jnp.where(u_row == 0, NEG, a_shift)
         emit_term = a_shift + em_ref[0, pl.ds(d, 1), :]
-        row = _logaddexp(blank_term, emit_term)
-        alpha_ref[pl.ds(d, 1), :] = jnp.where(cell_valid(d), row, NEG)
-        return 0
+        row = jnp.where(cell_valid(d), _logaddexp(blank_term, emit_term), NEG)
+        alpha_ref[pl.ds(d, 1), :] = row
+        # ll = alpha[d_final, U] + BL[d_final, U], captured as d passes by
+        return jnp.where((d == d_final) & ll_sel, row + bl_ref[0, pl.ds(d, 1), :], ll_acc)
 
-    jax.lax.fori_loop(1, d_total, fwd_body, 0)
+    ll_acc = jax.lax.fori_loop(1, d_total, fwd_body, ll_acc0)
 
-    # ll = alpha[d_final, U] + lp_blank[T-1, U] (= BL[d_final, U])
-    final_mask = u_row == u_len  # (1, U1p) — keep everything 2D for TPU
-    a_final = alpha_ref[pl.ds(d_final, 1), :]
-    bl_final = bl_ref[0, pl.ds(d_final, 1), :]
-    ll = jnp.max(jnp.where(final_mask, a_final + bl_final, NEG))
+    # broadcast each segment's single selected ll lane to its whole segment
+    # via two tiny 0/1 matmuls (segment indicator matrices)
+    seg_of = jax.lax.broadcasted_iota(jnp.int32, (lanes, group), 0) // u1p
+    col = jax.lax.broadcasted_iota(jnp.int32, (lanes, group), 1)
+    gather_m = (seg_of == col).astype(jnp.float32)  # [lanes, group]
+    vals = jnp.where(ll_sel, ll_acc, 0.0)
+    # HIGHEST precision: the default single bf16 MXU pass rounds the f32 ll
+    # values to ~8 mantissa bits (visibly wrong losses at |ll| ~ hundreds)
+    seg_ll = jnp.dot(vals, gather_m, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)  # [1, group]
+    scat_r = jax.lax.broadcasted_iota(jnp.int32, (group, lanes), 0)
+    scat_c = jax.lax.broadcasted_iota(jnp.int32, (group, lanes), 1) // u1p
+    scatter_m = (scat_r == scat_c).astype(jnp.float32)  # [group, lanes]
+    ll = jnp.dot(seg_ll, scatter_m, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)  # [1, lanes]
 
     # ------------------------------ backward ------------------------------ #
     # static trip count (compiler-friendly); rows above d_final are written
@@ -143,10 +181,10 @@ def _rnnt_kernel(
         above = d > d_final + 1
         b_next = beta_ref[pl.ds(d + 1, 1), :]
         blank_term = bl_ref[0, pl.ds(d, 1), :] + b_next
-        b_next_shift = pltpu.roll(b_next, u1p - 1, 1)
+        b_next_shift = pltpu.roll(b_next, lanes - 1, 1)
         b_next_shift = jnp.where(u_row == u1p - 1, NEG, b_next_shift)
         # EM2[d, u] = EM[d+1, u+1]
-        em2_row = pltpu.roll(em_ref[0, pl.ds(d + 1, 1), :], u1p - 1, 1)
+        em2_row = pltpu.roll(em_ref[0, pl.ds(d + 1, 1), :], lanes - 1, 1)
         em2_row = jnp.where(u_row == u1p - 1, NEG, em2_row)
         emit_term = em2_row + b_next_shift
         row = _logaddexp(blank_term, emit_term)
@@ -156,7 +194,7 @@ def _rnnt_kernel(
         beta_ref[pl.ds(d, 1), :] = row
         return 0
 
-    # top row: the exit seed when this element is full-length (d_final+1 == D-1)
+    # top row: the exit seed for examples whose d_final+1 == D-1
     top_is_seed = d_final + 1 == d_total - 1
     top_row = jnp.where(top_is_seed & (u_row == u_len), 0.0, NEG)
     beta_ref[pl.ds(d_total - 1, 1), :] = top_row
@@ -168,9 +206,9 @@ def _rnnt_kernel(
         b_next = beta_ref[pl.ds(d + 1, 1), :]
         # seed row for d == d_final: beta_ref[d_final+1] already holds the exit
         gbl = -jnp.exp(a_row + bl_ref[0, pl.ds(d, 1), :] + b_next - ll)
-        b_next_shift = pltpu.roll(b_next, u1p - 1, 1)
+        b_next_shift = pltpu.roll(b_next, lanes - 1, 1)
         b_next_shift = jnp.where(u_row == u1p - 1, NEG, b_next_shift)
-        em2_row = pltpu.roll(em_ref[0, pl.ds(d + 1, 1), :], u1p - 1, 1)
+        em2_row = pltpu.roll(em_ref[0, pl.ds(d + 1, 1), :], lanes - 1, 1)
         em2_row = jnp.where(u_row == u1p - 1, NEG, em2_row)
         gem2 = -jnp.exp(a_row + em2_row + b_next_shift - ll)
         valid = cell_valid(d)
@@ -179,39 +217,70 @@ def _rnnt_kernel(
         return 0
 
     jax.lax.fori_loop(0, d_total - 1, grad_body, 0)
-    # last row (never a valid diagonal: d_final <= D-2) carries the loss
+    # last row (never a valid diagonal: d_final <= D-2) carries the losses
     loss_row = jnp.where(u_row == 0, -ll, 0.0)
     gbl_ref[0, pl.ds(d_total - 1, 1), :] = loss_row
-    gem2_ref[0, pl.ds(d_total - 1, 1), :] = jnp.zeros((1, u1p), jnp.float32)
+    gem2_ref[0, pl.ds(d_total - 1, 1), :] = jnp.zeros((1, lanes), jnp.float32)
+
+
+def _pack_lanes(x: jax.Array, group: int) -> jax.Array:
+    """[Bp, D, U1p] → [Bp/G, D, G·U1p]: G examples side-by-side in lanes."""
+    bp, d_total, u1p = x.shape
+    return jnp.swapaxes(x.reshape(bp // group, group, d_total, u1p), 1, 2).reshape(bp // group, d_total, group * u1p)
+
+
+def _unpack_lanes(x: jax.Array, group: int, u1p: int) -> jax.Array:
+    """[Bp/G, D, G·U1p] → [Bp, D, U1p]."""
+    gcount, d_total, _ = x.shape
+    return jnp.swapaxes(x.reshape(gcount, d_total, group, u1p), 1, 2).reshape(gcount * group, d_total, u1p)
 
 
 def _rnnt_pallas_call(bl_skew, em_skew, logit_length, label_length, interpret: bool):
     batch, d_total, u1p = bl_skew.shape
+    group = _group_size(d_total, u1p)
+    bp = round_up(batch, group)
+    if bp != batch:
+        # padded examples: trivial 1-frame/0-label lattices, sliced off after
+        pad = ((0, bp - batch), (0, 0), (0, 0))
+        bl_skew = jnp.pad(bl_skew, pad, constant_values=NEG)
+        em_skew = jnp.pad(em_skew, pad, constant_values=NEG)
+        logit_length = jnp.pad(jnp.asarray(logit_length, jnp.int32), (0, bp - batch), constant_values=1)
+        label_length = jnp.pad(jnp.asarray(label_length, jnp.int32), (0, bp - batch))
+
+    bl_p = _pack_lanes(bl_skew, group)
+    em_p = _pack_lanes(em_skew, group)
+    lanes = group * u1p
+    gcount = bp // group
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(batch,),
+        grid=(gcount,),
         in_specs=[
-            pl.BlockSpec((1, d_total, u1p), lambda b, *_: (b, 0, 0)),
-            pl.BlockSpec((1, d_total, u1p), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec((1, d_total, lanes), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec((1, d_total, lanes), lambda b, *_: (b, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, d_total, u1p), lambda b, *_: (b, 0, 0)),
-            pl.BlockSpec((1, d_total, u1p), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec((1, d_total, lanes), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec((1, d_total, lanes), lambda b, *_: (b, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((d_total, u1p), jnp.float32),
-            pltpu.VMEM((d_total, u1p), jnp.float32),
+            pltpu.VMEM((d_total, lanes), jnp.float32),
+            pltpu.VMEM((d_total, lanes), jnp.float32),
         ],
     )
-    return pl.pallas_call(
-        _rnnt_kernel,
+    gbl_p, gem2_p = pl.pallas_call(
+        functools.partial(_rnnt_kernel, group=group, u1p=u1p),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((batch, d_total, u1p), jnp.float32),
-            jax.ShapeDtypeStruct((batch, d_total, u1p), jnp.float32),
+            jax.ShapeDtypeStruct((gcount, d_total, lanes), jnp.float32),
+            jax.ShapeDtypeStruct((gcount, d_total, lanes), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(jnp.asarray(logit_length, jnp.int32), jnp.asarray(label_length, jnp.int32), bl_skew, em_skew)
+    )(jnp.asarray(logit_length, jnp.int32), jnp.asarray(label_length, jnp.int32), bl_p, em_p)
+    gbl = _unpack_lanes(gbl_p, group, u1p)[:batch]
+    gem2 = _unpack_lanes(gem2_p, group, u1p)[:batch]
+    return gbl, gem2
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
