@@ -141,6 +141,14 @@ class TransducerJoint(nn.Module):
         out = self._act(out)
         return self.ffn_out(out)
 
+    def project_encoder(self, enc: jax.Array) -> jax.Array:
+        """Prejoint encoder linear only (fused joint+loss path)."""
+        return self.ffn_enc(enc) if self.prejoint_encoder_linear else enc
+
+    def project_prediction(self, pred: jax.Array) -> jax.Array:
+        """Prejoint prediction linear only (fused joint+loss path)."""
+        return self.ffn_pred(pred) if self.prejoint_prediction_linear else pred
+
     def step(self, enc_frame: jax.Array, pred_step: jax.Array) -> jax.Array:
         """Single (t, u) cell: [B, E] × [B, P] → [B, V]."""
         if self.prejoint_encoder_linear:
@@ -196,6 +204,18 @@ class Transducer(nn.Module):
         pred = self.predict_net(inputs.predictions, inputs.predictions_length, train=train)
         logits = self.joint_net(enc, pred, train=train)
         return schemas.TrainOutput(logits=logits, logits_length=elens)
+
+    def forward_joint_inputs(self, inputs: schemas.TrainInput, train: bool = False):
+        """Training forward that STOPS before the vocab projection: returns
+        (enc_p [B,T,J], pred_p [B,U+1,J], logits_length) — the inputs of the
+        fused joint+loss kernel (ops/pallas/joint_loss_kernel.py), which
+        never materializes the [B,T,U+1,V] logits."""
+        feats, flens = self.feature_extraction(inputs.inputs, inputs.inputs_length, train=train)
+        enc, elens, _ = self.encoder(feats, flens, train=train)
+        pred = self.predict_net(inputs.predictions, inputs.predictions_length, train=train)
+        enc_p = self.joint_net.project_encoder(enc)
+        pred_p = self.joint_net.project_prediction(pred)
+        return enc_p, pred_p, elens
 
     # ------------------------------ inference ------------------------------- #
 

@@ -91,9 +91,25 @@ def _apply_gwn(params, rng, gwn_config: Optional[dict]):
     return flax.traverse_util.unflatten_dict(out)
 
 
+def _fused_joint_supported(model) -> bool:
+    from tensorflowasr_tpu.models.transducer.base import Transducer
+
+    if not isinstance(model, Transducer):
+        return False
+    jc = model.joint_config
+    return (
+        jc.get("joint_mode", "add") == "add"
+        and jc.get("activation", "tanh") == "tanh"
+        and not jc.get("postjoint_linear", False)
+        and jc.get("prejoint_encoder_linear", True)
+        and jc.get("prejoint_prediction_linear", True)
+    )
+
+
 def make_train_step(model, tx: optax.GradientTransformation, gwn_config: Optional[dict] = None) -> Callable:
     """Returns ``step_fn(state, batch: TrainData) -> (state, metrics)``."""
-    loss_fn_impl = _loss_for(model)
+    use_fused_joint = os.environ.get("TFASR_LOSS_IMPL", "auto").lower() == "fused-joint" and _fused_joint_supported(model)
+    loss_fn_impl = None if use_fused_joint else _loss_for(model)
     gwn_step = int(gwn_config.get("step", 0)) if gwn_config else 0
 
     def step_fn(state: TrainState, batch: schemas.TrainData):
@@ -112,6 +128,36 @@ def make_train_step(model, tx: optax.GradientTransformation, gwn_config: Optiona
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
                 mutable = ["batch_stats"]
+            if use_fused_joint:
+                # flash-RNN-T: forward stops at the prejoint features; the
+                # fused kernel computes the joint + loss without ever
+                # materializing the [B,T,U+1,V] logits in HBM
+                from tensorflowasr_tpu.ops.pallas.joint_loss_kernel import rnnt_loss_fused_joint
+
+                out = model.apply(
+                    variables,
+                    batch.inputs,
+                    train=True,
+                    rngs={"dropout": k_drop, "augment": k_aug},
+                    mutable=mutable,
+                    method=model.forward_joint_inputs,
+                )
+                if mutable:
+                    (enc_p, pred_p, elens), mutated = out
+                    new_batch_stats = mutated.get("batch_stats", {})
+                else:
+                    enc_p, pred_p, elens = out
+                    new_batch_stats = state.batch_stats
+                wv = params_in["joint"]["vocab"]["kernel"].astype(enc_p.dtype)
+                bv = params_in["joint"]["vocab"]["bias"].astype(jnp.float32)
+                elens = jnp.asarray(elens, jnp.int32)
+                valid = elens > 0
+                safe_t = jnp.maximum(elens, 1)
+                safe_u = jnp.where(valid, jnp.asarray(batch.labels.labels_length, jnp.int32), 0)
+                per = rnnt_loss_fused_joint(enc_p, pred_p, wv, bv, safe_t, batch.labels.labels, safe_u)
+                per = jnp.where(valid, per, 0.0)
+                loss = jnp.sum(per) / jnp.maximum(jnp.sum(valid.astype(per.dtype)), 1.0)
+                return loss, new_batch_stats
             out = model.apply(
                 variables,
                 batch.inputs,
