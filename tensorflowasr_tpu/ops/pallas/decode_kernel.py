@@ -36,7 +36,7 @@ bucket to 512 (the axon-platform hang region, see rnnt_kernel._padded_lanes).
 from __future__ import annotations
 
 import functools
-from typing import Any, NamedTuple, Optional, Sequence, Tuple
+from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

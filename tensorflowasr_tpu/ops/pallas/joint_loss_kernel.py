@@ -38,7 +38,6 @@ Reference scope: replaces the logits production of
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

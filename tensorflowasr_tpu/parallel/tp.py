@@ -27,7 +27,7 @@ out of reference scope), and there are no MoE layers to expert-shard.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -35,7 +35,6 @@ import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from tensorflowasr_tpu import schemas
 from tensorflowasr_tpu.utils.math_util import LOG_0
 
 VOCAB_KERNEL_PATH = ("joint", "vocab", "kernel")
