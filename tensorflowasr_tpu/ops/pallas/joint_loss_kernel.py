@@ -54,6 +54,14 @@ def _lanes(n: int) -> int:
     return 512 if p == 384 else p
 
 
+def _lanes_j(n: int) -> int:
+    """J (contraction) dim padding: plain 128-multiples. The 384-lane hang
+    (rnnt_kernel._padded_lanes) was bisected on long sequential row-op
+    kernels; matmul operand tiles have not shown it, and J=320 models pay a
+    60% FLOP tax if bumped to 512. Canary-validated on v5e at bench shapes."""
+    return round_up(max(n, 1), 128)
+
+
 def _t_tile(u1p: int, jp: int, vp: int) -> int:
     """T rows per grid step (multiple of 8 — Mosaic's second-minor block
     constraint). Bigger tiles amortize per-step overhead and feed the MXU
@@ -191,7 +199,7 @@ def _pad_inputs(enc_p, pred_p, wv, bv, labels):
     b, t, j = enc_p.shape
     u1 = pred_p.shape[1]
     v = wv.shape[1]
-    jp, u1p, vp = _lanes(j), _lanes(u1), _lanes(v)
+    jp, u1p, vp = _lanes_j(j), _lanes(u1), _lanes(v)
     tt = _t_tile(u1p, jp, vp)
     tp = round_up(t, tt)
     # NEG-pad bv columns so padded vocab lanes never win lse/argmax sums;
