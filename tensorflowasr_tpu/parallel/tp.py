@@ -143,8 +143,14 @@ def tp_rnnt_loss(local_logits, logit_length, labels, label_length, vocab_size: i
     owned = (local_id >= 0) & (local_id < v_local)
     onehot = jax.nn.one_hot(jnp.where(owned, local_id, 0), v_local, dtype=x.dtype) * owned[..., None]
     max_u = x.shape[2] - 1
-    # sel[b,t,u] = Σ_v x[b,t,u,v]·onehot[b,u,v]; zero off-shard, summed in
-    sel_local = jnp.sum(x[:, :, :max_u, :] * onehot[:, None, :, :], axis=-1)
+    # sel[b,t,u] = Σ_v x[b,t,u,v]·onehot[b,u,v] as a batched GEMM over (B,U)
+    # contracting V (MXU) — NOT a [B,T,U,V] broadcast-multiply, which the
+    # target TPU compiler handles pathologically at scale (see
+    # ops/pallas/ctc_kernel._prep and CLAUDE.md platform notes)
+    sel_local = jax.lax.dot_general(
+        x[:, :, :max_u, :], onehot, (((3,), (2,)), ((0, 2), (0, 1)))
+    )  # [B, U, T]
+    sel_local = jnp.swapaxes(sel_local, 1, 2)  # [B, T, U]
     sel = _psum_rep(sel_local, axis)
     lp_emit = jnp.pad(sel - lse[:, :, :max_u], ((0, 0), (0, 0), (0, 1)), constant_values=LOG_0)
 
@@ -216,7 +222,20 @@ def make_tp_train_step(model, tx: optax.GradientTransformation, mesh: Mesh):
 
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
-        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
+
+        # grad_norm must be identical on every rank: the vocab kernel/bias
+        # grads are per-shard slices, so their squared norms are psum'd over
+        # the model axis before combining with the replicated leaves
+        def sq_norm(path_leaf, g):
+            path = tuple(str(getattr(k, "key", k)) for k in path_leaf)
+            s = jnp.sum(jnp.square(g.astype(jnp.float32)))
+            if path[-3:] in (VOCAB_KERNEL_PATH, VOCAB_BIAS_PATH):
+                return jax.lax.psum(s, "model")
+            return s
+
+        sq = jax.tree_util.tree_map_with_path(sq_norm, grads)
+        grad_norm = jnp.sqrt(sum(jax.tree_util.tree_leaves(sq)))
+        metrics = {"loss": loss, "grad_norm": grad_norm}
         new_state = state.replace(
             step=state.step + 1, params=new_params, batch_stats=new_bs, opt_state=new_opt
         )
