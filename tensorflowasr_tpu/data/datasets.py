@@ -180,7 +180,16 @@ class ASRDataset:
         pc, pi = jax.process_count(), jax.process_index()
         if pc <= 1:
             return list(self.entries)
-        return list(self.entries)[pi::pc]
+        local = list(self.entries)[pi::pc]
+        if not local:
+            # an empty slice would busy-spin yielding nothing and deadlock the
+            # whole pod at the first collective — fail loudly instead
+            raise RuntimeError(
+                f"dataset slice for process {pi}/{pc} is empty "
+                f"({len(self.entries)} total entries) — every pod host needs at "
+                "least one example; shrink the pod or grow the dataset"
+            )
+        return local
 
     def examples(self, num_workers: int = 0) -> Iterator[dict]:
         self.read_entries()
@@ -334,6 +343,20 @@ class ASRTFRecordDataset(ASRDataset):
         if not self.tfrecords_dir or not any(os.path.exists(self._shard_path(i)) for i in range(self.tfrecords_shards)):
             yield from super().examples(num_workers=num_workers)
             return
+        if self.shard_across_processes:
+            import jax
+
+            if 1 < jax.process_count() and self.tfrecords_shards < jax.process_count():
+                # fewer shard files than pod hosts: file-level sharding would
+                # leave some hosts with an empty slice (pod deadlock at the
+                # first collective) — fall back to per-entry manifest sharding
+                logger.warning(
+                    "tfrecords_shards=%d < process_count=%d; falling back to per-entry sharding",
+                    self.tfrecords_shards,
+                    jax.process_count(),
+                )
+                yield from super().examples(num_workers=num_workers)
+                return
         while True:
             shard_ids = list(range(self.tfrecords_shards))
             if self.shard_across_processes:

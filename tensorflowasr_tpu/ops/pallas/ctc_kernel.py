@@ -190,10 +190,17 @@ def _ctc_pallas_call(lp_ext, skip_add, logit_length, label_length, interpret: bo
 
 def _prep(logits, labels, blank):
     """logits [B,T,V], labels [B,U] → lp_ext [B,T,Sp], skip_add [B,1,Sp], lse."""
+    from tensorflowasr_tpu.ops.pallas.rnnt_kernel import _padded_lanes
+
     b, t, vocab = logits.shape
     u = labels.shape[1]
     s = 2 * u + 1
-    sp = round_up(s, 128)
+    # _padded_lanes bumps the 384-lane bucket to 512: when _group_size
+    # returns 1 (very long T) the packed minor dim equals sp, and exactly
+    # 384 lanes with grid>1 is the bisected axon hang region (see
+    # rnnt_kernel._padded_lanes). group*sp for sp in {128,256,512,...} and
+    # group in {1,2,4,8} never lands on 384 otherwise.
+    sp = _padded_lanes(s)
 
     lse = jax.nn.logsumexp(logits, axis=-1)  # [B,T]
     # extended state labels: even → blank, odd s=2k+1 → labels[k]
