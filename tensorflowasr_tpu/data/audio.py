@@ -588,6 +588,61 @@ def read_audio(path: str, sample_rate: Optional[int] = None, mono: bool = True) 
     return np.asarray(x, np.float32)
 
 
+def audio_duration(path: str) -> float:
+    """Duration in seconds from the container header alone (no decode).
+
+    FLAC: STREAMINFO total-samples / rate. WAV: data-chunk size / byte rate.
+    Used by dataset-prep utilities that stamp durations for thousands of
+    files (reference uses ``librosa.get_duration``).
+    """
+    ext = os.path.splitext(path)[1].lower()
+    with open(path, "rb") as f:
+        head = f.read(64 * 1024)
+    if ext == ".flac":
+        if head[:4] != b"fLaC":
+            raise ValueError(f"not a FLAC file: {path}")
+        pos = 4
+        while pos + 4 <= len(head):
+            last = head[pos] & 0x80
+            btype = head[pos] & 0x7F
+            length = int.from_bytes(head[pos + 1 : pos + 4], "big")
+            if btype == 0:  # STREAMINFO
+                br = _BitReader(head[pos + 4 : pos + 4 + length])
+                br.read(16 + 16 + 24 + 24)
+                rate = br.read(20)
+                br.read(3 + 5)
+                total = br.read(36)
+                if rate == 0:
+                    raise ValueError(f"invalid STREAMINFO rate in {path}")
+                return total / rate
+            pos += 4 + length
+            if last:
+                break
+        raise ValueError(f"missing STREAMINFO in {path}")
+    if ext in (".wav", ".wave"):
+        x, rate = _parse_wav_header_duration(head, path)
+        return x
+    raise ValueError(f"unsupported audio format: {path}")
+
+
+def _parse_wav_header_duration(data: bytes, path: str) -> tuple[float, int]:
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError(f"not a WAV file: {path}")
+    pos = 12
+    byte_rate = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        if cid == b"fmt ":
+            byte_rate = int.from_bytes(data[pos + 16 : pos + 20], "little")
+        elif cid == b"data":
+            if not byte_rate:
+                raise ValueError(f"WAV data chunk before fmt in {path}")
+            return size / byte_rate, byte_rate
+        pos += 8 + size + (size & 1)
+    raise ValueError(f"no data chunk in {path}")
+
+
 def resample(x: np.ndarray, orig_rate: int, target_rate: int) -> np.ndarray:
     from math import gcd
 

@@ -96,16 +96,31 @@ def load_stablehlo(path: str):
 
 
 def convert_tflite(fn, example_args, output: str) -> bool:
-    """jax2tf → TFLite (SELECT_TF_OPS); returns False if TF is unavailable."""
+    """jax2tf → TFLite (SELECT_TF_OPS); returns False if TF is unavailable.
+
+    ``example_args`` may be an arbitrary pytree (streaming exports carry
+    encoder/decoder state trees): leaves are flattened in ``jax.tree_util``
+    order and exposed as TFLite inputs named ``args_{i}``, so consumers can
+    recover the positional order by sorting input names (see
+    ``examples/inferences/streaming_tflite_conformer.py``).
+    """
     try:
         import tensorflow as tf
         from jax.experimental import jax2tf
     except ImportError:
         logger.warning("TensorFlow not available — skipping TFLite export")
         return False
+    flat_example, treedef = jax.tree_util.tree_flatten(tuple(example_args))
+
+    def flat_fn(*flat_args):
+        return fn(*jax.tree_util.tree_unflatten(treedef, flat_args))
+
     tf_fn = tf.function(
-        jax2tf.convert(fn, with_gradient=False),
-        input_signature=[tf.TensorSpec(np.shape(a), tf.as_dtype(np.asarray(a).dtype)) for a in example_args],
+        jax2tf.convert(flat_fn, with_gradient=False),
+        input_signature=[
+            tf.TensorSpec(np.shape(a), tf.as_dtype(np.asarray(a).dtype), name=f"args_{i}")
+            for i, a in enumerate(flat_example)
+        ],
         autograph=False,
     )
     converter = tf.lite.TFLiteConverter.from_concrete_functions([tf_fn.get_concrete_function()])

@@ -235,8 +235,19 @@ class Transducer(nn.Module):
         return self.predict_net.step(prev_tokens, states)
 
     def joint_window(self, enc_window: jax.Array, pred_out: jax.Array) -> jax.Array:
-        """Joint over a window of frames: ([B, K, E], [B, P]) → [B, K, V]."""
-        return self.joint_net(enc_window, pred_out[:, None, :])[:, :, 0, :]
+        """Joint over a window of frames: ([B, K, E], [B, P]) → [B, K, V].
+
+        Kept rank-3 end-to-end (no [B, K, 1, ·] singleton): the rank-4
+        ``[B,K,1,J]@[J,V]`` dot_general the 4-D joint would emit legalizes to
+        a rank-4 ``tfl.batch_matmul`` that the TFLite converter rejects.
+        """
+        j = self.joint_net
+        enc = j.project_encoder(enc_window)
+        pred = j.project_prediction(pred_out)[:, None, :]
+        out = enc + pred if j.joint_mode == "add" else enc * pred
+        if j.postjoint_linear:
+            out = j.ffn(out)
+        return j.ffn_out(j._act(out))
 
     @nn.nowrap
     def init_decoder_states(self, batch: int):

@@ -220,3 +220,53 @@ def test_dataset_parallel_workers(manifest):
     serial = [tok.detokenize(e["labels"]) for e in ds.examples(num_workers=0)]
     parallel = [tok.detokenize(e["labels"]) for e in ds.examples(num_workers=4)]
     assert serial == parallel  # order preserved
+
+
+def test_audio_duration_header_only(tmp_path):
+    """audio_duration reads container headers (FLAC STREAMINFO / WAV fmt)
+    and must agree with the decoded sample count."""
+    from tensorflowasr_tpu.data import audio as audio_lib
+
+    rng = np.random.default_rng(0)
+    sig = (rng.standard_normal(12345) * 0.1).astype(np.float32)
+    fpath, wpath = str(tmp_path / "a.flac"), str(tmp_path / "a.wav")
+    audio_lib.write_flac(fpath, sig, 16000)
+    audio_lib.write_wav(wpath, sig, 16000)
+    for path in (fpath, wpath):
+        dur = audio_lib.audio_duration(path)
+        decoded = audio_lib.read_audio(path, sample_rate=16000)
+        np.testing.assert_allclose(dur, decoded.shape[0] / 16000, atol=1e-6)
+
+
+def test_prepare_transcript_librispeech_layout(tmp_path):
+    """examples/datasets/librispeech/prepare_transcript.py over a synthetic
+    LibriSpeech tree produces the TSV manifest our datasets consume."""
+    import subprocess
+    import sys
+
+    from tensorflowasr_tpu.data import audio as audio_lib
+
+    rng = np.random.default_rng(1)
+    spk = tmp_path / "LibriSpeech" / "19" / "198"
+    spk.mkdir(parents=True)
+    with open(spk / "19-198.trans.txt", "w") as f:
+        for i in range(3):
+            utt = f"19-198-{i:04d}"
+            audio_lib.write_flac(str(spk / f"{utt}.flac"), (rng.standard_normal(1600 * (i + 1)) * 0.1).astype(np.float32), 16000)
+            f.write(f"{utt} HELLO WORLD {i}\n")
+    out = tmp_path / "train.tsv"
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, PYTHONPATH=root)  # examples import the package from the checkout
+    subprocess.run(
+        [sys.executable, "examples/datasets/librispeech/prepare_transcript.py", "--directory", str(tmp_path / "LibriSpeech"), "--output", str(out)],
+        check=True,
+        cwd=root,
+        env=env,
+    )
+    lines = out.read_text().splitlines()
+    assert lines[0] == "PATH\tDURATION\tTRANSCRIPT"
+    assert len(lines) == 4
+    path0, dur0, text0 = lines[1].split("\t")
+    assert path0.endswith("19-198-0000.flac")
+    np.testing.assert_allclose(float(dur0), 0.1, atol=1e-3)
+    assert text0 == "hello world 0"
