@@ -41,6 +41,11 @@ def masked_mean(loss_fn):
         valid = logit_length > 0
         safe_t = jnp.maximum(logit_length, 1)
         safe_u = jnp.where(valid, jnp.asarray(label_length, jnp.int32), 0)
+        # reference semantics (base_loss.py:36): pad logit_length up to
+        # label_length so short-utterance/long-label rows use the padded
+        # frames instead of shrinking the lattice — bounded by the array's
+        # actual T (the lattice physically cannot extend past it)
+        safe_t = jnp.minimum(jnp.maximum(safe_t, safe_u), logits.shape[1])
         per = loss_fn(logits, safe_t, labels, safe_u, blank)
         per = jnp.where(valid, per, 0.0)
         return jnp.sum(per) / jnp.maximum(jnp.sum(valid.astype(per.dtype)), 1.0)

@@ -196,9 +196,12 @@ def make_tp_train_step(model, tx: optax.GradientTransformation, mesh: Mesh):
                 new_bs = mutated.get("batch_stats", {})
             else:
                 new_bs = state.batch_stats
-            per = tp_rnnt_loss(
-                out.logits, out.logits_length, batch.labels.labels, batch.labels.labels_length, vocab_size
+            # reference base_loss.py:36 clamp (same as ops/losses.masked_mean)
+            ul = jnp.asarray(batch.labels.labels_length, jnp.int32)
+            tl = jnp.minimum(
+                jnp.maximum(jnp.asarray(out.logits_length, jnp.int32), ul), out.logits.shape[1]
             )
+            per = tp_rnnt_loss(out.logits, tl, batch.labels.labels, ul, vocab_size)
             valid = jnp.asarray(batch.inputs.inputs_length, jnp.int32) > 0
             per = jnp.where(valid, per, 0.0)
             loss = jnp.sum(per) / jnp.maximum(jnp.sum(valid.astype(per.dtype)), 1.0)

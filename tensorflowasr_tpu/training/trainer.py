@@ -154,6 +154,8 @@ def make_train_step(model, tx: optax.GradientTransformation, gwn_config: Optiona
                 valid = elens > 0
                 safe_t = jnp.maximum(elens, 1)
                 safe_u = jnp.where(valid, jnp.asarray(batch.labels.labels_length, jnp.int32), 0)
+                # reference base_loss.py:36 clamp, bounded by the array's T
+                safe_t = jnp.minimum(jnp.maximum(safe_t, safe_u), enc_p.shape[1])
                 per = rnnt_loss_fused_joint(enc_p, pred_p, wv, bv, safe_t, batch.labels.labels, safe_u)
                 per = jnp.where(valid, per, 0.0)
                 loss = jnp.sum(per) / jnp.maximum(jnp.sum(valid.astype(per.dtype)), 1.0)

@@ -284,3 +284,160 @@ def test_greedy_decode_token_parity_on_real_audio(ref_setup):
         assert ours[: common - 2] == ref[: common - 2], (
             f"decode diverged for example {b}: {ours[:20]} vs {ref[:20]}"
         )
+
+
+def test_train_step_loss_and_grad_parity(ref_setup, tmp_path):
+    """FULL-TREE train-step parity vs the reference oracle: converted
+    weights + identical batch → our Trainer's loss equals the reference's
+    GradientTape loss (RnntLoss, sum_over_batch_size), and EVERY parameter
+    gradient matches (reference ``models/base_model.py:149-183``,
+    ``losses/rnnt_loss.py:30-61``). Pins loss-normalization, length-clamp,
+    masking, and converter-layout semantics end-to-end.
+
+    Technique: perturb every reference weight with unique noise (so each h5
+    dataset's value is unique), key the tape gradients by h5 path via exact
+    value match, write them into an h5 with the identical tree, and run the
+    SAME h5→flax mapper over the gradient file — giving reference gradients
+    in our tree layout, compared leaf-by-leaf against the real train step's
+    SGD(lr=1) parameter deltas.
+
+    Two batches are used deliberately:
+      * a VARIED-length batch (row 1: half-length audio, and a row whose
+        label outnumbers its logit frames) asserts LOSS parity — pinning
+        the masked mean and the base_loss.py:36 logit-length clamp e2e;
+      * a FULL-length batch asserts GRADIENT parity over the whole tree.
+        Gradients on the varied batch genuinely differ (~0.7% on conv
+        kernels): the reference's Keras Conv1D/BatchNorm layers *discard*
+        the sequence mask (Keras warns "this layer does not support
+        masking"), so padded frames enter train-mode BN batch statistics
+        and leak gradient into the weights; our conv module masks padded
+        frames out of BN stats. Same function on valid frames, different
+        germ in the padding region — full-length inputs close the channel."""
+    import shutil
+
+    import flax
+    import h5py
+    import tensorflow as tf
+
+    from tensorflow_asr import schemas as ref_schemas
+    from tensorflow_asr.losses.rnnt_loss import RnntLoss
+    from tensorflow_asr.models.transducer.conformer import Conformer as RefConformer
+
+    from tensorflowasr_tpu import schemas
+    from tensorflowasr_tpu.convert import load_transducer_h5
+    from tensorflowasr_tpu.convert.keras_h5 import read_h5_arrays
+    from tensorflowasr_tpu.optimizers import build_optimizer
+    from tensorflowasr_tpu.training import Trainer
+
+    tf.keras.utils.set_random_seed(42)
+    ref_model = RefConformer(**ref_oracle.TINY_CONFORMER_CONFIG)
+    ref_model.make(batch_size=2)
+    ref_model.load_weights(ref_setup["h5"])
+    prng = np.random.default_rng(123)
+    for v in ref_model.weights:
+        v.assign(v.numpy() + prng.uniform(0.001, 0.01, v.shape).astype("float32"))
+    h5p = str(tmp_path / "perturbed.weights.h5")
+    ref_model.save_weights(h5p)
+
+    n, u = ref_setup["n"], ref_setup["u"]
+    # batch of 8: divisible by the 8-device test mesh, so the Trainer adds
+    # no zero-padded rows (padding would change train-mode BatchNorm batch
+    # statistics vs the reference's unpadded batch).
+    B = 8
+    drng = np.random.default_rng(7)
+    inputs = (drng.standard_normal((B, n)) * 0.1).astype(np.float32)
+    preds = np.pad(drng.integers(1, 12, (B, u)), ((0, 0), (1, 0))).astype(np.int32)
+    full_lengths = np.asarray([n] * B, np.int32)
+    # varied batch: row 1 has half-length audio (3 logit frames, 4 labels →
+    # exercises the base_loss.py:36 clamp) — loss parity only (see docstring)
+    varied_lengths = np.asarray([n, n // 2] + [n] * (B - 2), np.int32)
+    pred_lengths = np.asarray([u + 1, u] + [u + 1] * (B - 2), np.int32)
+    labels = preds[:, 1:]
+    label_lengths = pred_lengths - 1
+
+    def ref_forward_loss(input_lengths, with_tape):
+        ti = ref_schemas.TrainInput(
+            inputs=tf.constant(inputs),
+            inputs_length=tf.constant(input_lengths),
+            predictions=tf.constant(preds),
+            predictions_length=tf.constant(pred_lengths),
+        )
+        y_true = ref_schemas.TrainLabel(
+            labels=tf.constant(labels), labels_length=tf.constant(label_lengths, tf.int32)
+        )
+        loss_obj = RnntLoss(blank=0)
+        if not with_tape:
+            return float(loss_obj(y_true, ref_model(ti, training=True))), None
+        with tf.GradientTape() as tape:
+            y_pred = ref_model(ti, training=True)
+            ref_loss_t = loss_obj(y_true, y_pred)
+        return float(ref_loss_t), tape.gradient(ref_loss_t, ref_model.trainable_weights)
+
+    ref_loss_varied, _ = ref_forward_loss(varied_lengths, with_tape=False)
+    ref_loss, ref_grads = ref_forward_loss(full_lengths, with_tape=True)
+
+    # key each gradient by its h5 dataset path (unique-value match)
+    weights_by_path = read_h5_arrays(h5p)
+    gradmap = {}
+    for v, g in zip(ref_model.trainable_weights, ref_grads):
+        assert g is not None, f"no gradient for {v.path}"
+        val = v.numpy()
+        matches = [p for p, arr in weights_by_path.items() if arr.shape == val.shape and np.array_equal(arr, val)]
+        assert len(matches) == 1, f"h5 path match for {v.path} not unique: {matches}"
+        # embedding grads come back as tf.IndexedSlices — densify
+        gradmap[matches[0]] = np.asarray(tf.convert_to_tensor(g), np.float32)
+
+    h5g = str(tmp_path / "grads.weights.h5")
+    shutil.copy(h5p, h5g)
+    with h5py.File(h5g, "r+") as f:
+        for p, g in gradmap.items():
+            f[p][...] = g
+
+    # --- our side: real Trainer train steps on converted weights --- #
+    model = _our_model()
+
+    def make_batch(input_lengths):
+        ti_j = schemas.TrainInput(
+            inputs=jnp.asarray(inputs),
+            inputs_length=jnp.asarray(input_lengths),
+            predictions=jnp.asarray(preds),
+            predictions_length=jnp.asarray(pred_lengths),
+        )
+        return schemas.TrainData(
+            inputs=ti_j,
+            labels=schemas.TrainLabel(labels=jnp.asarray(labels), labels_length=jnp.asarray(label_lengths, jnp.int32)),
+        )
+
+    batch = make_batch(full_lengths)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, batch.inputs, train=False)
+    variables = load_transducer_h5(h5p, variables)
+
+    tx = build_optimizer({"class_name": "SGD", "config": {"learning_rate": 1.0}})
+    trainer = Trainer(model, tx)
+    state = trainer.init_state(batch)
+    state = state.replace(params=variables["params"], batch_stats=variables.get("batch_stats", {}))
+    params0 = jax.device_get(state.params)
+
+    # loss parity on the varied-length batch (clamp + masked mean);
+    # train_step donates the state buffers, so feed it a copy
+    state_copy = jax.tree_util.tree_map(jnp.copy, state)
+    _, metrics_varied = trainer.train_step(state_copy, make_batch(varied_lengths))
+    np.testing.assert_allclose(float(metrics_varied["loss"]), ref_loss_varied, rtol=1e-4, atol=1e-4)
+
+    # loss + full-tree gradient parity on the full-length batch
+    state2, metrics = trainer.train_step(state, batch)
+    our_loss = float(metrics["loss"])
+    np.testing.assert_allclose(our_loss, ref_loss, rtol=1e-4, atol=1e-4)
+
+    # SGD(lr=1): gradient == param delta, through the real jitted step
+    our_grads = jax.tree_util.tree_map(lambda a, b: np.asarray(a) - np.asarray(b), params0, jax.device_get(state2.params))
+
+    ref_grads_tree = load_transducer_h5(h5g, variables)["params"]
+    flat_ref = flax.traverse_util.flatten_dict(ref_grads_tree, sep="/")
+    flat_our = flax.traverse_util.flatten_dict(our_grads, sep="/")
+    assert set(flat_ref) == set(flat_our)
+    for k in sorted(flat_our):
+        np.testing.assert_allclose(
+            flat_our[k], flat_ref[k], rtol=2e-3, atol=3e-5,
+            err_msg=f"gradient mismatch at {k}",
+        )
