@@ -23,6 +23,7 @@ logical AND. Scores softmax in float32 for bf16 stability.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional
 
 import flax.linen as nn
@@ -30,6 +31,45 @@ import jax
 import jax.numpy as jnp
 
 from tensorflowasr_tpu.utils import math_util
+
+
+def _use_fused_attention(t: int, s: int) -> bool:
+    """Fused Pallas softmax/PV kernel dispatch (TFASR_ATTN_IMPL=auto|pallas|xla).
+
+    Measured motivation: the XLA score/softmax chain costs 48.5 ms of the
+    121 ms bs16 Conformer-S train step (scripts_dev/profile_components.py),
+    almost all of it HBM traffic on [B,H,T,S]-shaped f32 intermediates.
+    """
+    impl = os.environ.get("TFASR_ATTN_IMPL", "auto").lower()
+    if impl == "xla":
+        return False
+    from tensorflowasr_tpu.ops.pallas.attention_kernel import attention_shapes_supported
+
+    return attention_shapes_supported(t, s)
+
+
+def _fused_attend(q, k, v, bias_bhts, dropout_rate, dropout_key):
+    """[B,T,N,H] q / [B,S,N,H] k,v + additive bias [B,N,T,S] → [B,T,N,H]."""
+    from tensorflowasr_tpu.ops.pallas.attention_kernel import fused_attention
+
+    b, t, n, h = q.shape
+    s = k.shape[1]
+    qf = q.transpose(0, 2, 1, 3).reshape(b * n, t, h)
+    kf = k.transpose(0, 2, 1, 3).reshape(b * n, s, h)
+    vf = v.transpose(0, 2, 1, 3).reshape(b * n, s, h)
+    if bias_bhts.shape[0] == 1 and bias_bhts.shape[1] == 1:
+        bias = bias_bhts.reshape(1, t, s)  # kernel broadcasts a leading-1 bias
+    elif bias_bhts.shape[0] * bias_bhts.shape[1] == b * n:
+        bias = bias_bhts.reshape(b * n, t, s)
+    else:
+        bias = jnp.broadcast_to(bias_bhts, (b, n, t, s)).reshape(b * n, t, s)
+    if dropout_rate > 0.0 and dropout_key is not None:
+        seed = jax.random.randint(dropout_key, (), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+    else:
+        seed = jnp.zeros((), jnp.int32)
+        dropout_rate = 0.0
+    out = fused_attention(qf, kf, vf, bias, seed, float(dropout_rate))
+    return out.reshape(b, n, t, h).transpose(0, 2, 1, 3)
 
 
 def rel_left_shift(x: jax.Array, causal: bool = False) -> jax.Array:
@@ -200,6 +240,16 @@ class MultiHeadAttention(nn.Module):
 
     def _attend(self, q, k, v, mask, train: bool):
         scale = jnp.asarray(1.0 / jnp.sqrt(self.key_dim), q.dtype)
+        t, s = q.shape[1], k.shape[1]
+        if _use_fused_attention(t, s):
+            if mask is None:
+                bias = jnp.zeros((1, 1, t, s), q.dtype)
+            else:
+                bias = (1.0 - mask.astype(jnp.float32)) * jnp.float32(-1e9)
+                bias = bias.astype(q.dtype)
+            rate = self.dropout if train else 0.0
+            key = self.make_rng("dropout") if rate > 0 else None
+            return _fused_attend(q * scale, k, v, bias, rate, key)
         scores = jnp.einsum("BTNH,BSNH->BNTS", q * scale, k)
         probs = _masked_softmax(scores, mask)
         if self.dropout > 0:
@@ -289,21 +339,32 @@ class MultiHeadRelativeAttention(MultiHeadAttention):
 
         scale = jnp.asarray(1.0 / jnp.sqrt(self.key_dim), q.dtype)
         content_q = (q + cbias.astype(q.dtype)) * scale
-        content_scores = jnp.einsum("BTNH,BSNH->BNTS", content_q, k)
 
         positional_q = (q + pbias.astype(q.dtype)) * scale
         positional_scores = jnp.einsum("BTNH,BRNH->BNTR", positional_q, pos)
         positional_scores = rel_left_shift(positional_scores, causal=self.causal)
-        s_len = content_scores.shape[-1]
+        s_len = key.shape[1]
         positional_scores = positional_scores[..., positional_scores.shape[-1] - s_len:]
 
-        scores = content_scores + positional_scores
         mask = _merge_masks(
             query.shape[0], query.shape[1], key.shape[1], query_mask, kv_mask, attention_mask, use_causal_mask, self.chunk_size, self.history_size
         )
-        probs = _masked_softmax(scores, mask)
-        if self.dropout > 0:
-            probs = nn.Dropout(self.dropout, deterministic=not train)(probs)
-        out = jnp.einsum("BNTS,BSNH->BTNH", probs, v)
+        t, s = query.shape[1], key.shape[1]
+        if _use_fused_attention(t, s):
+            # fold the positional term + mask into one additive bias; the
+            # kernel fuses content scores + softmax(+dropout) + PV in VMEM
+            bias = positional_scores
+            if mask is not None:
+                bias = bias + ((1.0 - mask.astype(jnp.float32)) * jnp.float32(-1e9)).astype(bias.dtype)
+            rate = self.dropout if train else 0.0
+            key_rng = self.make_rng("dropout") if rate > 0 else None
+            out = _fused_attend(content_q, k, v, bias, rate, key_rng)
+        else:
+            content_scores = jnp.einsum("BTNH,BSNH->BNTS", content_q, k)
+            scores = content_scores + positional_scores
+            probs = _masked_softmax(scores, mask)
+            if self.dropout > 0:
+                probs = nn.Dropout(self.dropout, deterministic=not train)(probs)
+            out = jnp.einsum("BNTS,BSNH->BTNH", probs, v)
         out = self._out_proj(out, self.output_dim or query.shape[-1])
         return out, new_memory
