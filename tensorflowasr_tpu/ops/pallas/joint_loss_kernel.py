@@ -20,13 +20,16 @@ never materializes them: tiles of ``z = tanh(enc_p[t] + pred_p[u])`` and
 Supported joint: add-mode, tanh, prejoint linears, no postjoint — the
 flagship configuration; everything else uses the unfused path.
 
-Status: OPT-IN (``TFASR_LOSS_IMPL=fused-joint``), measured on v5e at
-Conformer-S bs16×16 s: 138.7 ms/step vs 122.3 ms unfused — the tile GEMMs
-pay a 1.6× padding tax (J=320 lane-bumped to 512) and 2×(B·T/8) grid-step
-overheads that currently outweigh the ~6-10 GB/step HBM saving. The
-memory win stands (no [B,T,U+1,V] logits or residuals), so the path is
-the one that scales batch size. Tuning leads: pad J to 384 (needs a hang
-check), larger T tiles, fusing fwd's lse pass into the first bwd matmul.
+Status: DEFAULT under ``TFASR_LOSS_IMPL=auto`` since round 3. The round-2
+kernel measured 138.7 ms/step vs 122.3 unfused at Conformer-S bs16×16 s;
+executing the tuning leads fixed it: (a) J padded to plain 128-multiples
+(320→384, not 512 — canary-validated, the bisected hang was on row-op
+kernels not matmul tiles), (b) U+1 padded to SUBLANE multiples (129→144,
+not 256 — U+1 is never a lane dim here, so the round-2 padding doubled
+every tile GEMM's rows), (c) T tile raised 16→32 (halves grid steps).
+Round-3 measurement (scripts_dev/profile_components.py, v5e): the fused
+joint+loss block fwd+bwd = 21.0 ms vs 41.1 ms unfused — 2.0× faster, with
+no [B,T,U+1,V] logits or residuals in HBM (the path that scales batch).
 Exactness: value + all four input gradients match the unfused composition
 (tests/test_fused_joint_loss.py), including a full train-step A/B.
 
@@ -62,12 +65,27 @@ def _lanes_j(n: int) -> int:
     return round_up(max(n, 1), 128)
 
 
-def _t_tile(u1p: int, jp: int, vp: int) -> int:
-    """T rows per grid step (multiple of 8 — Mosaic's second-minor block
-    constraint). Bigger tiles amortize per-step overhead and feed the MXU
-    larger GEMMs; 16 keeps the bf16 activation tile + f32 logits tile
-    within a comfortable VMEM budget at ASR shapes."""
-    return 16
+def _sublanes_u(n: int) -> int:
+    """U+1 (prediction-position) padding: SUBLANE multiples only (16 covers
+    bf16's (16, 128) tile; f32 needs 8). U+1 is never a lane dim in these
+    kernels — it only appears as the second-minor dim of the ``z``/``pred``
+    tiles and as a factor of the GEMM row count — so padding it to 128
+    (round-1 choice) just multiplied every tile GEMM's rows by up to 2×
+    (129 → 256 at the flagship U=128). 129 → 144 cuts the padded-row FLOP
+    tax from 1.98× to 1.12×."""
+    return round_up(max(n, 1), 16)
+
+
+def _t_tile() -> int:
+    """T rows per grid step (multiple of 16 — bf16 sublane tile). Bigger
+    tiles amortize per-grid-step overhead (the round-2 kernel at TT=16 ran
+    2×(B·T/16) = 800 steps per train step at bench shapes) and feed the MXU
+    larger GEMMs. VMEM at TT=32/U1p=144/J=384: ~25 MB of f32 intermediates,
+    comfortably under the 100 MB cap that v5e accepts. Overridable for
+    on-chip tuning via TFASR_FUSED_TT."""
+    import os
+
+    return int(os.environ.get("TFASR_FUSED_TT", "32"))
 
 
 # --------------------------------------------------------------------------- #
@@ -199,8 +217,8 @@ def _pad_inputs(enc_p, pred_p, wv, bv, labels):
     b, t, j = enc_p.shape
     u1 = pred_p.shape[1]
     v = wv.shape[1]
-    jp, u1p, vp = _lanes_j(j), _lanes(u1), _lanes(v)
-    tt = _t_tile(u1p, jp, vp)
+    jp, u1p, vp = _lanes_j(j), _sublanes_u(u1), _lanes(v)
+    tt = _t_tile()
     tp = round_up(t, tt)
     # NEG-pad bv columns so padded vocab lanes never win lse/argmax sums;
     # zero-pad everything else (padded J lanes contribute 0 to dots)

@@ -107,8 +107,19 @@ def _fused_joint_supported(model) -> bool:
 
 
 def make_train_step(model, tx: optax.GradientTransformation, gwn_config: Optional[dict] = None) -> Callable:
-    """Returns ``step_fn(state, batch: TrainData) -> (state, metrics)``."""
-    use_fused_joint = os.environ.get("TFASR_LOSS_IMPL", "auto").lower() == "fused-joint" and _fused_joint_supported(model)
+    """Returns ``step_fn(state, batch: TrainData) -> (state, metrics)``.
+
+    Loss dispatch (TFASR_LOSS_IMPL): "auto" (default) and "fused-joint" use
+    the flash-RNN-T fused joint+loss kernel when the joint supports it —
+    measured 21.0 ms vs 41.1 ms for the unfused joint+Pallas-DP block at
+    Conformer-S bs16×16 s (round 3, after the U+1→16-multiple padding and
+    TT=32 tiles) and it never materializes the [B,T,U+1,V] logits.
+    "pallas" forces the unfused Pallas DP losses; "xla" the scan DPs.
+    """
+    use_fused_joint = (
+        os.environ.get("TFASR_LOSS_IMPL", "auto").lower() in ("auto", "fused-joint")
+        and _fused_joint_supported(model)
+    )
     loss_fn_impl = None if use_fused_joint else _loss_for(model)
     gwn_step = int(gwn_config.get("step", 0)) if gwn_config else 0
 
