@@ -141,6 +141,7 @@ def test_transformer_encoder_absolute_pe():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_conformer_remat_grads():
     """use_remat trades FLOPs for memory — must compile and differentiate."""
     enc = ConformerEncoder(subsampling=SUB, dmodel=16, num_blocks=2, head_size=4, num_heads=2, kernel_size=7, use_remat=True, dropout=0.0)

@@ -32,6 +32,7 @@ def _tiny_transducer():
     return model, variables, nsamples
 
 
+@pytest.mark.slow
 def test_convert_tflite_end_to_end(tmp_path):
     model, variables, nsamples = _tiny_transducer()
     fn = export_mod.make_inference_fn(model, variables)

@@ -69,6 +69,7 @@ def test_fused_joint_loss_nonuniform_weighting():
     np.testing.assert_allclose(np.asarray(gg), np.asarray(rg), rtol=2e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_train_step_fused_joint_matches_default(monkeypatch):
     """A full train step with TFASR_LOSS_IMPL=fused-joint == the default
     (unfused Pallas loss) step: same loss, same updated params."""

@@ -52,6 +52,7 @@ def tok():
     return t
 
 
+@pytest.mark.slow
 def test_overfit_ctc_greedy_decode(tok):
     from tensorflowasr_tpu.models.ctc import base as ctc_base
     from tensorflowasr_tpu.models.ctc.deepspeech2 import DeepSpeech2
@@ -91,6 +92,7 @@ def test_overfit_ctc_greedy_decode(tok):
     assert hyps == texts, f"greedy decode mismatch: {hyps} vs {texts}"
 
 
+@pytest.mark.slow
 def test_overfit_transducer_greedy_decode(tok):
     from tensorflowasr_tpu.models.transducer import base as transducer_base
     from tensorflowasr_tpu.models.transducer.conformer import Conformer

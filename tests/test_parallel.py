@@ -201,6 +201,7 @@ def _tp_batch(b, seed=0, identical_rows=True):
     )
 
 
+@pytest.mark.slow
 def test_tp_vocab_sharded_step_matches_dp():
     """One train step on a (data=4, model=2) mesh with the joint vocab
     projection column-sharded == the pure-DP step: same loss, same updated
@@ -280,6 +281,7 @@ def test_tp_loss_matches_unsharded_loss():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_real_two_process_training_matches_single_process():
     """REAL multi-process pod path (not mocked): two OS processes form a
     2x4-device CPU cluster via jax.distributed + gloo collectives, each

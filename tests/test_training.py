@@ -175,6 +175,7 @@ def test_trainer_fit_with_callbacks(tiny_ctc_setup):
     assert int(state.step) == 2
 
 
+@pytest.mark.slow
 def test_evaluate_dataset_wer(tmp_path):
     """End-to-end evaluation helper: overfit a tiny model then evaluate WER=0."""
     from tensorflowasr_tpu.configs import DecoderConfig
