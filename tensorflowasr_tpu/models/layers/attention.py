@@ -48,6 +48,18 @@ def _use_fused_attention(t: int, s: int) -> bool:
     return attention_shapes_supported(t, s)
 
 
+def _use_rel_fused_attention(t: int, s: int, r: int) -> bool:
+    """Kernel-B dispatch: fully-fused relative attention (in-kernel rel
+    shift) — preferred over the bias-as-input kernel, whose per-block
+    [B,H,T,S] bias materialization measured roughly break-even with XLA."""
+    impl = os.environ.get("TFASR_ATTN_IMPL", "auto").lower()
+    if impl == "xla":
+        return False
+    from tensorflowasr_tpu.ops.pallas.attention_kernel import rel_attention_shapes_supported
+
+    return rel_attention_shapes_supported(t, s, r)
+
+
 def _fused_attend(q, k, v, bias_bhts, dropout_rate, dropout_key):
     """[B,T,N,H] q / [B,S,N,H] k,v + additive bias [B,N,T,S] → [B,T,N,H]."""
     from tensorflowasr_tpu.ops.pallas.attention_kernel import fused_attention
@@ -246,7 +258,7 @@ class MultiHeadAttention(nn.Module):
                 bias = jnp.zeros((1, 1, t, s), q.dtype)
             else:
                 bias = (1.0 - mask.astype(jnp.float32)) * jnp.float32(-1e9)
-                bias = bias.astype(q.dtype)
+                bias = jnp.broadcast_to(bias, bias.shape[:2] + (t, s)).astype(q.dtype)
             rate = self.dropout if train else 0.0
             key = self.make_rng("dropout") if rate > 0 else None
             return _fused_attend(q * scale, k, v, bias, rate, key)
@@ -339,32 +351,71 @@ class MultiHeadRelativeAttention(MultiHeadAttention):
 
         scale = jnp.asarray(1.0 / jnp.sqrt(self.key_dim), q.dtype)
         content_q = (q + cbias.astype(q.dtype)) * scale
-
         positional_q = (q + pbias.astype(q.dtype)) * scale
-        positional_scores = jnp.einsum("BTNH,BRNH->BNTR", positional_q, pos)
-        positional_scores = rel_left_shift(positional_scores, causal=self.causal)
-        s_len = key.shape[1]
-        positional_scores = positional_scores[..., positional_scores.shape[-1] - s_len:]
 
-        mask = _merge_masks(
-            query.shape[0], query.shape[1], key.shape[1], query_mask, kv_mask, attention_mask, use_causal_mask, self.chunk_size, self.history_size
-        )
-        t, s = query.shape[1], key.shape[1]
-        if _use_fused_attention(t, s):
-            # fold the positional term + mask into one additive bias; the
-            # kernel fuses content scores + softmax(+dropout) + PV in VMEM
-            bias = positional_scores
-            if mask is not None:
-                bias = bias + ((1.0 - mask.astype(jnp.float32)) * jnp.float32(-1e9)).astype(bias.dtype)
-            rate = self.dropout if train else 0.0
-            key_rng = self.make_rng("dropout") if rate > 0 else None
-            out = _fused_attend(content_q, k, v, bias, rate, key_rng)
+        b, t = query.shape[0], query.shape[1]
+        s, r = key.shape[1], relpe.shape[1]
+        n, hd = self.num_heads, self.key_dim
+        if _use_rel_fused_attention(t, s, r) and attention_mask is None:
+            # kernel B: content scores + in-kernel rel-shifted positional
+            # term + visibility + softmax(+dropout) + PV, one VMEM pass per
+            # (b·h); no score-shaped tensor touches HBM. The Keras-parity
+            # query-row mask adds −1e9 to every column of a padded row —
+            # softmax-invariant — so only KV-column masks are passed.
+            from tensorflowasr_tpu.ops.pallas.attention_kernel import fused_rel_attention
+
+            fold = lambda x: x.transpose(0, 2, 1, 3).reshape(b * n, x.shape[1], hd)
+            kv_bias = None
+            if kv_mask is not None:
+                kv_bias = ((1.0 - kv_mask.astype(jnp.float32)) * jnp.float32(-1e9))[:, None, :]
+            # the query-row term must be applied even alone: −1e9 in f32
+            # absorbs O(1) scores (ulp(1e9)=64), so reference masked rows
+            # attend ~uniformly — reproduced by the same in-kernel add
+            q_valid = query_mask.astype(jnp.float32)[:, :, None] if query_mask is not None else None
+            rate = float(self.dropout) if train else 0.0
+            if rate > 0:
+                seed = jax.random.randint(self.make_rng("dropout"), (), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+            else:
+                seed = jnp.zeros((), jnp.int32)
+            out = fused_rel_attention(
+                fold(content_q),
+                fold(positional_q),
+                fold(k),
+                fold(v),
+                fold(pos),
+                kv_bias,
+                q_valid,
+                seed,
+                rate,
+                bool(use_causal_mask),
+                self.chunk_size,
+                self.history_size,
+                False,
+                bool(self.causal),  # pe_causal: relpe length convention for the [..., -S:] slice
+            )
+            out = out.reshape(b, n, t, hd).transpose(0, 2, 1, 3)
         else:
-            content_scores = jnp.einsum("BTNH,BSNH->BNTS", content_q, k)
-            scores = content_scores + positional_scores
-            probs = _masked_softmax(scores, mask)
-            if self.dropout > 0:
-                probs = nn.Dropout(self.dropout, deterministic=not train)(probs)
-            out = jnp.einsum("BNTS,BSNH->BTNH", probs, v)
+            positional_scores = jnp.einsum("BTNH,BRNH->BNTR", positional_q, pos)
+            positional_scores = rel_left_shift(positional_scores, causal=self.causal)
+            positional_scores = positional_scores[..., positional_scores.shape[-1] - s:]
+            mask = _merge_masks(
+                b, t, s, query_mask, kv_mask, attention_mask, use_causal_mask, self.chunk_size, self.history_size
+            )
+            if _use_fused_attention(t, s):
+                # kernel A fallback: positional term + mask as one additive
+                # bias operand; fuses softmax(+dropout) + PV in VMEM
+                bias = positional_scores
+                if mask is not None:
+                    bias = bias + ((1.0 - mask.astype(jnp.float32)) * jnp.float32(-1e9)).astype(bias.dtype)
+                rate = self.dropout if train else 0.0
+                key_rng = self.make_rng("dropout") if rate > 0 else None
+                out = _fused_attend(content_q, k, v, bias, rate, key_rng)
+            else:
+                content_scores = jnp.einsum("BTNH,BSNH->BNTS", content_q, k)
+                scores = content_scores + positional_scores
+                probs = _masked_softmax(scores, mask)
+                if self.dropout > 0:
+                    probs = nn.Dropout(self.dropout, deterministic=not train)(probs)
+                out = jnp.einsum("BNTS,BSNH->BTNH", probs, v)
         out = self._out_proj(out, self.output_dim or query.shape[-1])
         return out, new_memory

@@ -260,3 +260,323 @@ fused_attention.defvjp(_fwd, _bwd)
 def attention_shapes_supported(t: int, s: int) -> bool:
     """True when the whole [T, S] tile per (b·h) fits the VMEM budget."""
     return _vmem_ok(_subl(t), _lanes(s))
+
+
+# --------------------------------------------------------------------------- #
+# Relative-position attention, fully fused (kernel B)
+#
+# The bias-as-input kernel above still materializes a per-block [B,H,T,S]
+# bias (positional term + mask) in HBM — measured roughly break-even with
+# XLA at Conformer-S shapes because that traffic cancels the softmax win.
+# This variant computes the Transformer-XL relative term INSIDE the kernel:
+#   W = qp @ posᵀ                                  [T, R] on the MXU
+#   rel[i, s] = W[i, s + (T-1-i)]                  per-row left shift
+# The shift is the exact element mapping of attention.rel_left_shift for
+# BOTH its causal (R = M+T) and non-causal (R = M+2T-1) variants (derived
+# from its pad/flatten/reshape arithmetic; out-of-range → 0 like the XLA
+# zero-padding). A per-row dynamic lane shift is an unsupported Mosaic
+# relayout, so it runs as a BARREL SHIFTER: ceil(log2(T)) static
+# pltpu.roll steps, selecting per row on the shift amount's bits — VPU
+# work on a VMEM-resident [T, R] tile, no HBM.
+#
+# Masking: KV-column masks (padded keys / streaming memory slots) enter as
+# one additive [B, 1, S] row, query-row validity as a [B, T, 1] column, and
+# causal / chunked-streaming visibility (compute_streaming_mask) is rebuilt
+# in-kernel from iota comparisons with static chunk parameters; the merge
+# reproduces Keras's AND + single −1e9 semantics including its f32
+# absorption (see _rel_scores). Backward emits dqc, dqp, dk, dv, dpos — no
+# score-shaped gradient ever exists in HBM.
+# --------------------------------------------------------------------------- #
+
+
+def _rel_shift(w, t_true: int, s_cols: int, r_true: int, extra: int, reverse: bool):
+    """Barrel shifter: row i of ``w [Tp, Rp]`` shifted left by
+    (t_true-1-i) + ``extra`` (``reverse=False``), or the transpose-map right
+    shift for the backward (``reverse=True``, input cols [0, s_cols)
+    occupied). ``extra`` reproduces the XLA path's trailing ``[..., -S:]``
+    column slice, which is non-trivial when relpe is longer than the actual
+    key length needs (memory-configured encoder running without memory):
+    extra = (R−T+1)−S non-causal, R−S causal-PE. Out-of-range lanes are
+    zeroed to match rel_left_shift's zero padding."""
+    tp, rp = w.shape
+    row = jax.lax.broadcasted_iota(jnp.int32, (tp, rp), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (tp, rp), 1)
+    shift = jnp.maximum(t_true - 1 - row + extra, 0)  # padded rows: clamp, discarded later
+    bit = 1
+    while bit < max(t_true + extra, 1):
+        sel = (shift & bit) != 0
+        rolled = pltpu.roll(w, rp - bit if not reverse else bit, axis=1)
+        w = jnp.where(sel, rolled, w)
+        bit <<= 1
+    if reverse:
+        # dW[i, j] = ds[i, j - shift_i] for j-shift_i in [0, s_cols)
+        valid = (col >= shift) & (col - shift < s_cols) & (col < r_true)
+    else:
+        # rel[i, s] = W[i, s + shift_i] for s + shift_i < r_true
+        valid = col + shift < r_true
+    return jnp.where(valid, w, 0.0)
+
+
+def _inkernel_vis_bias(t: int, s: int, shape, causal: bool, chunk_size, history_size):
+    """Additive −1e9 visibility term for causal/chunked-streaming attention
+    (compute_streaming_mask semantics), built from iotas — [Tp, Sp] f32."""
+    row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    frame = col - (s - t)  # prepended-memory columns sit at negative frames
+    allowed = jnp.ones(shape, bool)
+    if causal:
+        allowed = frame <= row
+    if chunk_size is not None and history_size is not None:
+        hist = s if history_size < 0 else history_size
+        chunk_start = (row // chunk_size) * chunk_size
+        allowed = allowed & (frame >= chunk_start - hist) & (frame < chunk_start + chunk_size)
+    return jnp.where(allowed, 0.0, -1e9)
+
+
+def _rel_scores(qc_ref, qp_ref, k_ref, pos_ref, kvb_ref, qv_ref, *, t, s_true, r_true, extra, causal, chunk_size, history_size):
+    f32 = jnp.float32
+    qc = qc_ref[0]
+    qp = qp_ref[0]
+    k = k_ref[0]
+    pos = pos_ref[0]
+    s = jax.lax.dot_general(qc, k, (((1,), (1,)), ((), ())), preferred_element_type=f32)  # [Tp, Sp]
+    w = jax.lax.dot_general(qp, pos, (((1,), (1,)), ((), ())), preferred_element_type=f32)  # [Tp, Rp]
+    rel = _rel_shift(w, t, s_true, r_true, extra, reverse=False)[:, : s.shape[1]]
+    s = s + rel
+    # Keras-parity mask merge: the XLA path ANDs query/kv/visibility masks
+    # then adds a single −1e9 in f32. Parity subtleties reproduced here:
+    # stacked column terms clamp to −1e9 (AND, not sum), and a masked QUERY
+    # row adds −1e9 to every column — which is NOT a softmax no-op in f32:
+    # ulp(1e9)=64 absorbs O(1) score differences, so the reference's masked
+    # rows attend ~uniformly. Adding the same −1e9 in-kernel (f32) absorbs
+    # identically.
+    add = None
+    if kvb_ref is not None:
+        add = jnp.broadcast_to(kvb_ref[0].astype(f32), s.shape)
+    if causal or (chunk_size is not None and history_size is not None):
+        visb = _inkernel_vis_bias(t, s_true, s.shape, causal, chunk_size, history_size)
+        add = visb if add is None else add + visb
+    if add is not None:
+        add = jnp.maximum(add, -1e9)
+        if qv_ref is not None:
+            add = jnp.where(qv_ref[0] > 0, add, jnp.float32(-1e9))
+        s = s + add
+    elif qv_ref is not None:
+        s = s + jnp.where(qv_ref[0] > 0, jnp.float32(0.0), jnp.float32(-1e9))
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    return jnp.where(col < s_true, s, NEG_PAD)
+
+
+def _rel_fwd_kernel(seed_ref, qc_ref, qp_ref, k_ref, v_ref, pos_ref, kvb_ref, qv_ref, o_ref, lse_ref, *, t, s_true, r_true, extra, causal, chunk_size, history_size, rate):
+    f32 = jnp.float32
+    bh = pl.program_id(0)
+    s = _rel_scores(qc_ref, qp_ref, k_ref, pos_ref, kvb_ref, qv_ref, t=t, s_true=s_true, r_true=r_true, extra=extra, causal=causal, chunk_size=chunk_size, history_size=history_size)
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    lse_ref[0] = m + jnp.log(l)
+    pn = p / l
+    if rate > 0.0:
+        pn = pn * _dropout_mask(seed_ref[0] + bh * jnp.int32(40499), pn.shape, rate)
+    v = v_ref[0]
+    o_ref[0] = jax.lax.dot_general(pn.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=f32).astype(o_ref.dtype)
+
+
+def _rel_bwd_kernel(
+    seed_ref, qc_ref, qp_ref, k_ref, v_ref, pos_ref, kvb_ref, qv_ref, lse_ref, do_ref, delta_ref,
+    dqc_ref, dqp_ref, dk_ref, dv_ref, dpos_ref,
+    *, t, s_true, r_true, extra, causal, chunk_size, history_size, rate,
+):
+    f32 = jnp.float32
+    bh = pl.program_id(0)
+    s = _rel_scores(qc_ref, qp_ref, k_ref, pos_ref, kvb_ref, qv_ref, t=t, s_true=s_true, r_true=r_true, extra=extra, causal=causal, chunk_size=chunk_size, history_size=history_size)
+    pn = jnp.exp(s - lse_ref[0])
+    do = do_ref[0].astype(f32)
+    v = v_ref[0]
+    if rate > 0.0:
+        keep = _dropout_mask(seed_ref[0] + bh * jnp.int32(40499), pn.shape, rate)
+        pd = pn * keep
+    else:
+        pd = pn
+    dv_ref[0] = jax.lax.dot_general(pd, do, (((0,), (0,)), ((), ())), preferred_element_type=f32).astype(dv_ref.dtype)
+    dpn = jax.lax.dot_general(do, v.astype(f32), (((1,), (1,)), ((), ())), preferred_element_type=f32)
+    if rate > 0.0:
+        dpn = dpn * keep
+    ds = pn * (dpn - delta_ref[0])  # [Tp, Sp]
+
+    qc = qc_ref[0]
+    qp = qp_ref[0]
+    k = k_ref[0]
+    pos = pos_ref[0]
+    dqc_ref[0] = jax.lax.dot_general(ds.astype(k.dtype), k, (((1,), (0,)), ((), ())), preferred_element_type=f32).astype(dqc_ref.dtype)
+    dk_ref[0] = jax.lax.dot_general(ds.astype(qc.dtype), qc, (((0,), (0,)), ((), ())), preferred_element_type=f32).astype(dk_ref.dtype)
+
+    # rel term backward: dW = reverse-shift(ds) zero-padded to [Tp, Rp]
+    rp = pos.shape[0]
+    sp = ds.shape[1]
+    dspad = jnp.pad(ds, ((0, 0), (0, rp - sp))) if rp > sp else ds[:, :rp]
+    dw = _rel_shift(dspad, t, s_true, r_true, extra, reverse=True)
+    dqp_ref[0] = jax.lax.dot_general(dw.astype(pos.dtype), pos, (((1,), (0,)), ((), ())), preferred_element_type=f32).astype(dqp_ref.dtype)
+    dpos_ref[0] = jax.lax.dot_general(dw.astype(qp.dtype), qp, (((0,), (0,)), ((), ())), preferred_element_type=f32).astype(dpos_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13))
+def fused_rel_attention(qc, qp, k, v, pos, kv_bias, q_valid, seed, rate: float = 0.0, causal: bool = False, chunk_size=None, history_size=None, interpret: bool = False, pe_causal: bool = False):
+    """Transformer-XL relative attention, fully fused per (b·h) grid step.
+
+    qc/qp: [BH, T, D] content/positional queries (bias-added, scaled);
+    k/v: [BH, S, D]; pos: [BH, R, D] projected relative PE (R = M+2T-1
+    non-causal, M+T causal); kv_bias: [B, 1, S] additive f32 (key-column
+    mask term; H consecutive grid steps share one row) or None; q_valid:
+    [B, T, 1] f32 0/1 query-row validity (only meaningful when combined
+    with kv/visibility terms — Keras-parity quirk, see _rel_scores) or
+    None; seed: int32 scalar for in-kernel probs dropout. Visibility
+    (causal / chunk+history streaming) is rebuilt in-kernel from static
+    params. Returns [BH, T, D] in qc.dtype.
+    """
+    out, _ = _rel_vjp_fwd(qc, qp, k, v, pos, kv_bias, q_valid, seed, rate, causal, chunk_size, history_size, interpret, pe_causal)
+    return out
+
+
+def _rel_pack(qc, qp, k, v, pos, kv_bias, q_valid):
+    bh, t, d = qc.shape
+    s = k.shape[1]
+    r = pos.shape[1]
+    tp, sp, rp, dp = _subl(t), _lanes(s), _lanes(r), _lanes(d)
+    return (
+        _pad3(qc, tp, dp),
+        _pad3(qp, tp, dp),
+        _pad3(k, sp, dp),
+        _pad3(v, sp, dp),
+        _pad3(pos, rp, dp),
+        None if kv_bias is None else jnp.pad(kv_bias, ((0, 0), (0, 0), (0, sp - s))),
+        None if q_valid is None else jnp.pad(q_valid, ((0, 0), (0, tp - t), (0, 0))),
+        (bh, t, s, r, tp, sp, rp, dp),
+    )
+
+
+def _rel_build(heads, tp, sp, rp, dp, kvbp, qvp):
+    """(specs, operands) for the optional mask inputs, shared fwd/bwd."""
+    qspec = pl.BlockSpec((1, tp, dp), lambda i, *_: (i, 0, 0))
+    kspec = pl.BlockSpec((1, sp, dp), lambda i, *_: (i, 0, 0))
+    pspec = pl.BlockSpec((1, rp, dp), lambda i, *_: (i, 0, 0))
+    lspec = pl.BlockSpec((1, tp, 1), lambda i, *_: (i, 0, 0))
+    opt_specs, opt_ops = [], []
+    if kvbp is not None:
+        opt_specs.append(pl.BlockSpec((1, 1, sp), lambda i, *_: (i // heads, 0, 0)))
+        opt_ops.append(kvbp)
+    if qvp is not None:
+        opt_specs.append(pl.BlockSpec((1, tp, 1), lambda i, *_: (i // heads, 0, 0)))
+        opt_ops.append(qvp)
+    return qspec, kspec, pspec, lspec, opt_specs, opt_ops
+
+
+def _split_opt(refs, has_kvb, has_qv, n_rest):
+    """refs → (main..., kvb_r, qv_r, rest...) given the optional layout."""
+    n_main = 5
+    i = n_main
+    kvb_r = qv_r = None
+    if has_kvb:
+        kvb_r = refs[i]
+        i += 1
+    if has_qv:
+        qv_r = refs[i]
+        i += 1
+    return refs[:n_main], kvb_r, qv_r, refs[i:]
+
+
+def _rel_vjp_fwd(qc, qp, k, v, pos, kv_bias, q_valid, seed, rate, causal, chunk_size, history_size, interpret, pe_causal=False):
+    interpret = interpret or jax.default_backend() == "cpu"
+    qcp, qpp, kp, vp, posp, kvbp, qvp, (bh, t, s, r, tp, sp, rp, dp) = _rel_pack(qc, qp, k, v, pos, kv_bias, q_valid)
+    bdim = kv_bias.shape[0] if kv_bias is not None else (q_valid.shape[0] if q_valid is not None else bh)
+    heads = max(1, bh // max(1, bdim))
+    qspec, kspec, pspec, lspec, opt_specs, opt_ops = _rel_build(heads, tp, sp, rp, dp, kvbp, qvp)
+    has_kvb, has_qv = kvbp is not None, qvp is not None
+    extra = (r - s) if pe_causal else (r - t + 1 - s)  # XLA [..., -S:] slice offset
+    assert extra >= 0, (t, s, r, pe_causal)
+
+    def kern(seed_ref, *refs):
+        (qc_r, qp_r, k_r, v_r, pos_r), kvb_r, qv_r, rest = _split_opt(refs, has_kvb, has_qv, 2)
+        o_r, lse_r = rest
+        _rel_fwd_kernel(
+            seed_ref, qc_r, qp_r, k_r, v_r, pos_r, kvb_r, qv_r, o_r, lse_r,
+            t=t, s_true=s, r_true=r, extra=extra, causal=causal, chunk_size=chunk_size, history_size=history_size, rate=rate,
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(bh,), in_specs=[qspec, qspec, kspec, kspec, pspec] + opt_specs, out_specs=[qspec, lspec]
+    )
+    out, lse = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((bh, tp, dp), qc.dtype), jax.ShapeDtypeStruct((bh, tp, 1), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(jnp.asarray(seed, jnp.int32).reshape(1), qcp, qpp, kp, vp, posp, *opt_ops)
+    out = out[:, :t, : qc.shape[2]]
+    return out, (qc, qp, k, v, pos, kv_bias, q_valid, seed, lse, out)
+
+
+def _rel_vjp_bwd(rate, causal, chunk_size, history_size, interpret, pe_causal, res, g):
+    qc, qp, k, v, pos, kv_bias, q_valid, seed, lse, out = res
+    interpret_ = interpret or jax.default_backend() == "cpu"
+    qcp, qpp, kp, vp, posp, kvbp, qvp, (bh, t, s, r, tp, sp, rp, dp) = _rel_pack(qc, qp, k, v, pos, kv_bias, q_valid)
+    bdim = kv_bias.shape[0] if kv_bias is not None else (q_valid.shape[0] if q_valid is not None else bh)
+    heads = max(1, bh // max(1, bdim))
+    qspec, kspec, pspec, lspec, opt_specs, opt_ops = _rel_build(heads, tp, sp, rp, dp, kvbp, qvp)
+    has_kvb, has_qv = kvbp is not None, qvp is not None
+    dop = _pad3(g.astype(jnp.float32), tp, dp)
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=2, keepdims=True)
+    delta = jnp.pad(delta, ((0, 0), (0, tp - t), (0, 0)))
+
+    extra = (r - s) if pe_causal else (r - t + 1 - s)
+
+    def kern(seed_ref, *refs):
+        (qc_r, qp_r, k_r, v_r, pos_r), kvb_r, qv_r, rest = _split_opt(refs, has_kvb, has_qv, 8)
+        lse_r, do_r, dl_r, dqc_r, dqp_r, dk_r, dv_r, dpos_r = rest
+        _rel_bwd_kernel(
+            seed_ref, qc_r, qp_r, k_r, v_r, pos_r, kvb_r, qv_r, lse_r, do_r, dl_r,
+            dqc_r, dqp_r, dk_r, dv_r, dpos_r,
+            t=t, s_true=s, r_true=r, extra=extra, causal=causal, chunk_size=chunk_size, history_size=history_size, rate=rate,
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bh,),
+        in_specs=[qspec, qspec, kspec, kspec, pspec] + opt_specs + [lspec, qspec, lspec],
+        out_specs=[qspec, qspec, kspec, kspec, pspec],
+    )
+    dqc, dqp, dk, dv, dpos = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, tp, dp), jnp.float32),
+            jax.ShapeDtypeStruct((bh, tp, dp), jnp.float32),
+            jax.ShapeDtypeStruct((bh, sp, dp), jnp.float32),
+            jax.ShapeDtypeStruct((bh, sp, dp), jnp.float32),
+            jax.ShapeDtypeStruct((bh, rp, dp), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret_,
+    )(jnp.asarray(seed, jnp.int32).reshape(1), qcp, qpp, kp, vp, posp, *opt_ops, lse, dop, delta)
+
+    d = qc.shape[2]
+    return (
+        dqc[:, :t, :d].astype(qc.dtype),
+        dqp[:, :t, :d].astype(qp.dtype),
+        dk[:, :s, :d].astype(k.dtype),
+        dv[:, :s, :d].astype(v.dtype),
+        dpos[:, :r, :d].astype(pos.dtype),
+        None,
+        None,
+        None,
+    )
+
+
+fused_rel_attention.defvjp(_rel_vjp_fwd, _rel_vjp_bwd)
+
+
+def rel_attention_shapes_supported(t: int, s: int, r: int) -> bool:
+    """VMEM budget: ~3 [Tp, Rp] + ~4 [Tp, Sp] f32 tiles live in bwd."""
+    tp, sp, rp = _subl(t), _lanes(s), _lanes(r)
+    return (3 * tp * rp + 4 * tp * sp) * 4 <= 64 * 1024 * 1024

@@ -149,7 +149,147 @@ def test_layer_dispatch_matches_xla(rng):
     np.testing.assert_allclose(outs["pallas"], outs["xla"], rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("with_kv", [False, True])
+def test_vanilla_mha_dispatch_matches_xla(rng, with_kv):
+    """MultiHeadAttention (non-relative): query-row-only masks are [B,1,T,1]
+    and softmax-invariant; kv masks exercise the bias broadcast."""
+    import os
+
+    from tensorflowasr_tpu.models.layers.attention import MultiHeadAttention
+
+    b, t, d, heads, hd = 2, 18, 24, 2, 12
+    x = jnp.asarray(rng.standard_normal((b, t, d)), jnp.float32) * 0.5
+    qmask = jnp.arange(t)[None, :] < jnp.asarray([t, t - 5])[:, None]
+    kwargs = dict(query_mask=qmask)
+    if with_kv:
+        kwargs["kv_mask"] = qmask
+
+    layer = MultiHeadAttention(num_heads=heads, key_dim=hd, output_dim=d)
+    variables = layer.init({"params": jax.random.PRNGKey(0)}, x, x, **kwargs)
+    outs = {}
+    for impl in ("xla", "pallas"):
+        os.environ["TFASR_ATTN_IMPL"] = impl
+        try:
+            out, _ = layer.apply(variables, x, x, **kwargs)
+        finally:
+            os.environ.pop("TFASR_ATTN_IMPL", None)
+        outs[impl] = np.asarray(out)
+    np.testing.assert_allclose(outs["pallas"], outs["xla"], rtol=1e-4, atol=1e-5)
+
+
 def test_shapes_supported_guard():
     assert attention_shapes_supported(400, 400)
     assert attention_shapes_supported(1600, 1600)
     assert not attention_shapes_supported(4096, 4096)
+
+
+# --------------------------------------------------------------------------- #
+# kernel B: fully-fused relative attention (in-kernel barrel-shifted rel term)
+# --------------------------------------------------------------------------- #
+
+
+def _rel_layer(heads=2, hd=12, d=24, causal_pe=False, **kw):
+    from tensorflowasr_tpu.models.layers.attention import MultiHeadRelativeAttention
+
+    return MultiHeadRelativeAttention(num_heads=heads, key_dim=hd, output_dim=d, causal=causal_pe, **kw)
+
+
+def _run_both(layer, variables, args, kwargs):
+    import os
+
+    outs = {}
+    for impl in ("xla", "pallas"):
+        os.environ["TFASR_ATTN_IMPL"] = impl
+        try:
+            out, _ = layer.apply(variables, *args, **kwargs)
+        finally:
+            os.environ.pop("TFASR_ATTN_IMPL", None)
+        outs[impl] = np.asarray(out)
+    return outs
+
+
+@pytest.mark.parametrize("case", ["plain", "causal_vis", "chunked", "kv_masked", "causal_pe"])
+def test_rel_fused_matches_xla_variants(rng, case):
+    b, t, d, heads, hd = 2, 24, 24, 2, 12
+    x = jnp.asarray(rng.standard_normal((b, t, d)), jnp.float32) * 0.5
+    causal_pe = case == "causal_pe"
+    r = t if causal_pe else 2 * t - 1
+    relpe = jnp.asarray(rng.standard_normal((b, r, d)), jnp.float32) * 0.5
+
+    kwargs = dict(relpe=relpe)
+    layer_kw = {}
+    if case == "causal_vis":
+        kwargs["use_causal_mask"] = True
+    if case == "causal_pe":
+        kwargs["use_causal_mask"] = True
+    if case == "chunked":
+        layer_kw = dict(chunk_size=6, history_size=6)
+    if case == "kv_masked":
+        kwargs["kv_mask"] = jnp.arange(t)[None, :] < jnp.asarray([t, t - 7])[:, None]
+        kwargs["query_mask"] = kwargs["kv_mask"]
+
+    layer = _rel_layer(heads, hd, d, causal_pe=causal_pe, **layer_kw)
+    variables = layer.init({"params": jax.random.PRNGKey(0)}, x, x, **kwargs)
+    outs = _run_both(layer, variables, (x, x), kwargs)
+    np.testing.assert_allclose(outs["pallas"], outs["xla"], rtol=1e-4, atol=1e-5, err_msg=case)
+
+
+def test_rel_fused_grads_match_xla(rng):
+    import os
+
+    b, t, d, heads, hd = 2, 20, 24, 2, 12
+    x = jnp.asarray(rng.standard_normal((b, t, d)), jnp.float32) * 0.5
+    relpe = jnp.asarray(rng.standard_normal((b, 2 * t - 1, d)), jnp.float32) * 0.5
+    layer = _rel_layer(heads, hd, d)
+    variables = layer.init({"params": jax.random.PRNGKey(0)}, x, x, relpe=relpe)
+
+    def loss(v, xx, rp):
+        out, _ = layer.apply(v, xx, xx, relpe=rp)
+        return jnp.sum(out * out)
+
+    grads = {}
+    for impl in ("xla", "pallas"):
+        os.environ["TFASR_ATTN_IMPL"] = impl
+        try:
+            grads[impl] = jax.grad(loss, argnums=(0, 1, 2))(variables, x, relpe)
+        finally:
+            os.environ.pop("TFASR_ATTN_IMPL", None)
+    for a, b_ in zip(jax.tree_util.tree_leaves(grads["pallas"]), jax.tree_util.tree_leaves(grads["xla"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=5e-4, atol=5e-5)
+
+
+@pytest.mark.parametrize("causal_pe", [False, True])
+def test_rel_fused_long_relpe_slice(rng, causal_pe):
+    """Memory-configured relpe with NO memory prepended: R is longer than
+    2T−1 (or T), so the XLA path's trailing [..., -S:] slice is NOT a no-op
+    — regression for the in-kernel `extra` shift offset."""
+    b, t, d, heads, hd, m = 2, 16, 24, 2, 12, 8
+    x = jnp.asarray(rng.standard_normal((b, t, d)), jnp.float32) * 0.5
+    r = (t + m) if causal_pe else (m + 2 * t - 1)
+    relpe = jnp.asarray(rng.standard_normal((b, r, d)), jnp.float32) * 0.5
+    kwargs = dict(relpe=relpe)
+    if causal_pe:
+        kwargs["use_causal_mask"] = True
+    layer = _rel_layer(heads, hd, d, causal_pe=causal_pe)
+    variables = layer.init({"params": jax.random.PRNGKey(0)}, x, x, **kwargs)
+    outs = _run_both(layer, variables, (x, x), kwargs)
+    np.testing.assert_allclose(outs["pallas"], outs["xla"], rtol=1e-4, atol=1e-5)
+
+
+def test_rel_fused_with_memory_state(rng):
+    """KV memory prepends S−T masked slots — exercises the kv_bias row and
+    R = M+2T−1 relpe inside the kernel."""
+    from tensorflowasr_tpu.models.layers.attention import MemoryState
+
+    b, t, d, heads, hd, m = 2, 12, 24, 2, 12, 8
+    x = jnp.asarray(rng.standard_normal((b, t, d)), jnp.float32) * 0.5
+    relpe = jnp.asarray(rng.standard_normal((b, m + 2 * t - 1, d)), jnp.float32) * 0.5
+    layer = _rel_layer(heads, hd, d, memory_length=m)
+    mem = MemoryState.init(b, m, d)
+    mem["k"] = jnp.asarray(rng.standard_normal((b, m, d)), jnp.float32) * 0.5
+    mem["v"] = jnp.asarray(rng.standard_normal((b, m, d)), jnp.float32) * 0.5
+    mem["mask"] = jnp.arange(m)[None, :] >= jnp.asarray([m, 3])[:, None]
+    kwargs = dict(relpe=relpe, memory_state=mem)
+    variables = layer.init({"params": jax.random.PRNGKey(0)}, x, x, **kwargs)
+    outs = _run_both(layer, variables, (x, x), kwargs)
+    np.testing.assert_allclose(outs["pallas"], outs["xla"], rtol=1e-4, atol=1e-5)
