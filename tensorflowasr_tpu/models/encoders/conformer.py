@@ -18,6 +18,7 @@ params and f32 softmax.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional, Sequence
 
 import flax.linen as nn
@@ -80,6 +81,43 @@ def build_subsampling(config: dict, dtype=jnp.float32):
     raise KeyError(f"Unknown subsampling class {config['class_name']!r}")
 
 
+class _DenseParams(nn.Module):
+    """Parameter mirror of ``nn.Dense`` (same names/shapes/inits) so the
+    fused-FF kernel path produces an identical checkpoint tree."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(), (in_features, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,), jnp.float32)
+        return kernel, bias
+
+
+class _LNParams(nn.Module):
+    """Parameter mirror of ``nn.LayerNorm``."""
+
+    @nn.compact
+    def __call__(self, dim: int):
+        scale = self.param("scale", nn.initializers.ones_init(), (dim,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(), (dim,), jnp.float32)
+        return scale, bias
+
+
+def _use_fused_ff(n: int, d: int, f: int) -> bool:
+    """Fused FF-module kernel dispatch (TFASR_FF_IMPL=auto|pallas|xla).
+
+    Measured motivation: the 32 FF modules cost 20.8 of the 85 ms bs16
+    Conformer-S train step while their GEMMs are ~1 ms of MXU work — the
+    rest is HBM round-trips of [B·T, 4D] activations."""
+    impl = os.environ.get("TFASR_FF_IMPL", "auto").lower()
+    if impl == "xla":
+        return False
+    from tensorflowasr_tpu.ops.pallas.ff_kernel import ff_shapes_supported
+
+    return ff_shapes_supported(n, d, f)
+
+
 class FFModule(nn.Module):
     """Half-step feed-forward module: LN → 4x dense+swish → dense → ½·residual."""
 
@@ -92,6 +130,36 @@ class FFModule(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        d, f = self.input_dim, self.scale_factor * self.input_dim
+        n = x.shape[0] * x.shape[1] if x.ndim == 3 else x.shape[0]
+        if self.norm_position == "pre" and not isinstance(self.residual_factor, str) and _use_fused_ff(n, d, f):
+            # fused Pallas path: whole module in one VMEM pass per row tile
+            # (ops/pallas/ff_kernel.py); params mirror the XLA submodules
+            from tensorflowasr_tpu.ops.pallas.ff_kernel import fused_ff
+
+            gamma, beta = _LNParams(name="ln")(d)
+            w1, b1 = _DenseParams(f, name="dense_1")(d)
+            w2, b2 = _DenseParams(d, name="dense_2")(f)
+            rate = float(self.dropout) if train else 0.0
+            if rate > 0:
+                seed = jax.random.randint(self.make_rng("dropout"), (), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+            else:
+                seed = jnp.zeros((), jnp.int32)
+            dt = self.dtype
+            out2d = fused_ff(
+                x.reshape(n, d),
+                gamma,
+                beta,
+                w1.astype(dt),
+                b1.astype(dt),
+                w2.astype(dt),
+                b2.astype(dt),
+                seed,
+                rate,
+                float(self.residual_factor),
+                1e-3,
+            )
+            return out2d.reshape(x.shape)
         out = x
         if self.norm_position == "pre":
             out = nn.LayerNorm(epsilon=1e-3, dtype=self.dtype, param_dtype=jnp.float32, name="ln")(out)
