@@ -104,6 +104,74 @@ class _LNParams(nn.Module):
         return scale, bias
 
 
+class _InnerConvParams(nn.Module):
+    """Parameter mirror of the ``nn.Conv`` inside Conv1D/DepthwiseConv1D."""
+
+    kernel_shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(), self.kernel_shape, jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.kernel_shape[-1],), jnp.float32)
+        return kernel, bias
+
+
+class _ConvParams(nn.Module):
+    """Mirror of ``Conv1D``/``DepthwiseConv1D``'s tree: one unnamed
+    ``nn.Conv`` child → scope ``Conv_0``."""
+
+    kernel_shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return _InnerConvParams(self.kernel_shape, name="Conv_0")()
+
+
+class _BNParams(nn.Module):
+    """Mirror of ``Norm(kind="batch")``'s tree (one unnamed ``nn.BatchNorm``
+    child → ``BatchNorm_0``) including the running batch_stats, with the
+    flax-compatible momentum update applied from externally computed batch
+    statistics."""
+
+    features: int
+    momentum: float = 0.99
+
+    @nn.compact
+    def __call__(self, batch_mean=None, batch_var=None, train: bool = False):
+        inner = _BNInner(self.features, self.momentum, name="BatchNorm_0")
+        return inner(batch_mean, batch_var, train=train)
+
+
+class _BNInner(nn.Module):
+    features: int
+    momentum: float
+
+    @nn.compact
+    def __call__(self, batch_mean, batch_var, train: bool = False):
+        f = self.features
+        scale = self.param("scale", nn.initializers.ones_init(), (f,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(), (f,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((f,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((f,), jnp.float32))
+        if train:
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1.0 - m) * jax.lax.stop_gradient(batch_mean)
+                ra_var.value = m * ra_var.value + (1.0 - m) * jax.lax.stop_gradient(batch_var)
+            return scale, bias, batch_mean, batch_var
+        return scale, bias, ra_mean.value, ra_var.value
+
+
+def _use_fused_conv(t: int, d: int, k: int, padding: str) -> bool:
+    """Fused conv-module kernel dispatch (TFASR_CONV_IMPL=auto|pallas|xla)."""
+    impl = os.environ.get("TFASR_CONV_IMPL", "auto").lower()
+    if impl == "xla":
+        return False
+    from tensorflowasr_tpu.ops.pallas.conv_kernel import conv_shapes_supported
+
+    return conv_shapes_supported(t, d, k, padding)
+
+
 def _use_fused_ff(n: int, d: int, f: int) -> bool:
     """Fused FF-module kernel dispatch (TFASR_FF_IMPL=auto|pallas|xla).
 
@@ -265,6 +333,53 @@ class ConvModule(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, pad_mask: Optional[jax.Array] = None, train: bool = False) -> jax.Array:
+        d = self.input_dim
+        if (
+            self.norm_position == "pre"
+            and self.dw_norm_type == "batch"
+            and self.scale_factor == 2
+            and not self.use_group_conv
+            and pad_mask is None
+            and not isinstance(self.residual_factor, str)
+            and _use_fused_conv(x.shape[1], d, self.kernel_size, self.padding)
+        ):
+            # fused Pallas path (ops/pallas/conv_kernel.py): F1 kernel →
+            # XLA depthwise conv + batch stats (exact flax-BatchNorm
+            # semantics + running update) → F2 kernel; params mirror the
+            # XLA submodules
+            from tensorflowasr_tpu.ops.pallas.conv_kernel import conv_back, conv_front, depthwise_conv1d
+
+            gamma, beta = _LNParams(name="ln")(d)
+            k1, c1 = _ConvParams((1, d, 2 * d), name="pw_conv_1")()
+            kd, cd = _ConvParams((self.kernel_size, 1, d), name="dw_conv")()
+            k2, c2 = _ConvParams((1, d, d), name="pw_conv_2")()
+            dt = self.dtype
+            w1 = k1[0]
+            glu = conv_front(
+                x,
+                gamma,
+                beta,
+                w1[:, :d].astype(dt),
+                c1[:d].astype(dt),
+                w1[:, d:].astype(dt),
+                c1[d:].astype(dt),
+            )
+            y1 = depthwise_conv1d(glu, kd[:, 0, :].astype(dt), cd.astype(dt), self.padding)
+            if train:
+                y1f = y1.astype(jnp.float32)
+                bm = jnp.mean(y1f, axis=(0, 1))
+                bv = jnp.mean(jnp.square(y1f), axis=(0, 1)) - jnp.square(bm)  # flax use_fast_variance
+            else:
+                bm = bv = None
+            scale, bias, mean, var = _BNParams(d, name="dw_norm")(bm, bv, train=train)
+            rate = float(self.dropout) if train else 0.0
+            if rate > 0:
+                seed = jax.random.randint(self.make_rng("dropout"), (), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+            else:
+                seed = jnp.zeros((), jnp.int32)
+            return conv_back(
+                x, y1, mean, var, scale, bias, k2[0].astype(dt), c2.astype(dt), seed, rate, float(self.residual_factor)
+            )
         out = x
         if self.norm_position == "pre":
             out = nn.LayerNorm(epsilon=1e-3, dtype=self.dtype, param_dtype=jnp.float32, name="ln")(out)

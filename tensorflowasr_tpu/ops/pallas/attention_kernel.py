@@ -439,19 +439,28 @@ def fused_rel_attention(qc, qp, k, v, pos, kv_bias, q_valid, seed, rate: float =
 
 
 def _rel_pack(qc, qp, k, v, pos, kv_bias, q_valid):
+    """Lane/sublane dims stay UNPADDED where Pallas block dims can equal the
+    array dims (q/k/v head dim, T) — no pad/unpad copies in HBM. Two
+    exceptions that must be physically 128-aligned: pos rows (they become
+    the lane dim of the in-kernel [T, R] tensor that ``pltpu.roll``
+    rotates) and k/v rows when S's physical padding would land on exactly
+    384 lanes — the bisected axon hang bucket — which get bumped to 512
+    (scores cols ≥ s_true are already masked)."""
     bh, t, d = qc.shape
     s = k.shape[1]
     r = pos.shape[1]
-    tp, sp, rp, dp = _subl(t), _lanes(s), _lanes(r), _lanes(d)
+    sp = 512 if round_up(s, 128) == 384 else s
+    rp = _lanes(r)
+    pad_rows = lambda x, n: x if x.shape[1] == n else jnp.pad(x, ((0, 0), (0, n - x.shape[1]), (0, 0)))
     return (
-        _pad3(qc, tp, dp),
-        _pad3(qp, tp, dp),
-        _pad3(k, sp, dp),
-        _pad3(v, sp, dp),
-        _pad3(pos, rp, dp),
-        None if kv_bias is None else jnp.pad(kv_bias, ((0, 0), (0, 0), (0, sp - s))),
-        None if q_valid is None else jnp.pad(q_valid, ((0, 0), (0, tp - t), (0, 0))),
-        (bh, t, s, r, tp, sp, rp, dp),
+        qc,
+        qp,
+        pad_rows(k, sp),
+        pad_rows(v, sp),
+        pad_rows(pos, rp),
+        None if kv_bias is None else (kv_bias if sp == s else jnp.pad(kv_bias, ((0, 0), (0, 0), (0, sp - s)))),
+        q_valid,
+        (bh, t, s, r, t, sp, rp, d),
     )
 
 

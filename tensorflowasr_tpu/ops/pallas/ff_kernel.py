@@ -44,7 +44,11 @@ def _row_tile(n: int) -> int:
 
 def ff_shapes_supported(n: int, d: int, f: int) -> bool:
     """VMEM budget: ~5 [TR, Fp] + ~4 [TR, Dp] f32 tiles live in bwd, plus
-    two weight blocks and two weight-grad accumulators."""
+    two weight blocks and two weight-grad accumulators. Lane dims whose
+    physical padding lands on exactly 384 lanes (3 tiles) are refused —
+    the bisected axon hang region (see rnnt_kernel._padded_lanes)."""
+    if round_up(d, 128) == 384 or round_up(f, 128) == 384:
+        return False
     tr, dp, fp = _row_tile(n), _lanes(d), _lanes(f)
     tiles = (5 * tr * fp + 4 * tr * dp + 4 * dp * fp) * 4
     return tiles <= 64 * 1024 * 1024
@@ -156,18 +160,15 @@ def _bwd_kernel(
 
 
 def _pack(x, gamma, beta, w1, b1, w2, b2):
+    """Row-pad x to a tile multiple; lane dims stay UNPADDED — Pallas block
+    dims equal to the array dims let Mosaic handle the sub-tile (144→2×128
+    masked) layout internally, so no [N, Dp] pad/unpad copies hit HBM."""
     n, d = x.shape
     f = w1.shape[1]
-    tr, dp, fp = _row_tile(n), _lanes(d), _lanes(f)
+    tr = _row_tile(n)
     npad = round_up(n, tr)
-    xp = jnp.pad(x, ((0, npad - n), (0, dp - d)))
-    gp = jnp.pad(gamma.reshape(1, d), ((0, 0), (0, dp - d)))
-    bp = jnp.pad(beta.reshape(1, d), ((0, 0), (0, dp - d)))
-    w1p = jnp.pad(w1, ((0, dp - d), (0, fp - f)))
-    b1p = jnp.pad(b1.reshape(1, f), ((0, 0), (0, fp - f)))
-    w2p = jnp.pad(w2, ((0, fp - f), (0, dp - d)))
-    b2p = jnp.pad(b2.reshape(1, d), ((0, 0), (0, dp - d)))
-    return xp, gp, bp, w1p, b1p, w2p, b2p, (n, d, f, npad, tr, dp, fp)
+    xp = jnp.pad(x, ((0, npad - n), (0, 0)))
+    return xp, gamma.reshape(1, d), beta.reshape(1, d), w1, b1.reshape(1, f), w2, b2.reshape(1, d), (n, d, f, npad, tr, d, f)
 
 
 def _specs(tr, dp, fp):
