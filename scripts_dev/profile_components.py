@@ -151,9 +151,10 @@ def optax_global_norm(tree):
     return jnp.sqrt(sum(jnp.sum(jnp.square(x.astype(jnp.float32))) for x in leaves))
 
 
-def _stack_runner(module, args_fn, mutable=()):
+def _stack_runner(module, args_fn, mutable=(), shape=None):
     """Generic: module fwd+bwd on [B,T,D] inputs, K-scan."""
-    x0 = jnp.zeros((B, T, D), jnp.bfloat16)
+    shape = shape or (B, T, D)
+    x0 = jnp.zeros(shape, jnp.bfloat16)
     variables = module.init({"params": jax.random.PRNGKey(0)}, *args_fn(x0), train=False)
     params = variables["params"]
     bst = variables.get("batch_stats", {})
@@ -179,7 +180,7 @@ def _stack_runner(module, args_fn, mutable=()):
 
         return jax.lax.scan(body, 0.0, xs)[1]
 
-    return _timeit(functools.partial(multi, params), lambda i: _x_batches(i, (B, T, D), jnp.bfloat16))
+    return _timeit(functools.partial(multi, params), lambda i: _x_batches(i, shape, jnp.bfloat16))
 
 
 def run_mhsa16():
@@ -231,6 +232,115 @@ def run_ff32():
             return x
 
     return _stack_runner(Stack(), lambda x: (x,))
+
+
+def run_frontend():
+    """FeatureExtraction fwd+bwd on raw audio [B, NSAMPLES]."""
+    from tensorflowasr_tpu.models.layers.feature_extraction import FeatureExtraction
+
+    fe = FeatureExtraction(sample_rate=16000, frame_ms=25, stride_ms=10, nfft=512, num_feature_bins=80, dtype=jnp.bfloat16)
+    x0 = jnp.zeros((B, NSAMPLES), jnp.float32)
+    lens = jnp.full((B,), NSAMPLES, jnp.int32)
+    variables = fe.init({"params": jax.random.PRNGKey(0)}, x0, lens)
+
+    @jax.jit
+    def multi(xs):
+        def body(c, x):
+            def loss_fn(x):
+                feats, _ = fe.apply(variables, x, lens)
+                return jnp.mean(feats.astype(jnp.float32))
+
+            l, g = jax.value_and_grad(loss_fn)(x)
+            return c, l + jnp.sum(jnp.square(g))
+
+        return jax.lax.scan(body, 0.0, xs)[1]
+
+    return _timeit(multi, lambda i: _x_batches(i, (B, NSAMPLES), jnp.float32))
+
+
+def run_frontend_fwd(impl="xla"):
+    """FeatureExtraction FORWARD only (as the train step pays it: no params
+    upstream of the frontend, so autodiff never differentiates it)."""
+    from tensorflowasr_tpu.models.layers.feature_extraction import FeatureExtraction
+
+    prev = os.environ.get("TFASR_FRONTEND_IMPL")
+    os.environ["TFASR_FRONTEND_IMPL"] = impl
+    try:
+        fe = FeatureExtraction(sample_rate=16000, frame_ms=25, stride_ms=10, nfft=512, num_feature_bins=80, dtype=jnp.bfloat16)
+        x0 = jnp.zeros((B, NSAMPLES), jnp.float32)
+        lens = jnp.full((B,), NSAMPLES, jnp.int32)
+        variables = fe.init({"params": jax.random.PRNGKey(0)}, x0, lens)
+
+        @jax.jit
+        def multi(xs):
+            def body(c, x):
+                feats, _ = fe.apply(variables, x, lens)
+                return c, jnp.mean(feats.astype(jnp.float32))
+
+            return jax.lax.scan(body, 0.0, xs)[1]
+
+        return _timeit(multi, lambda i: _x_batches(i, (B, NSAMPLES), jnp.float32))
+    finally:
+        if prev is None:
+            os.environ.pop("TFASR_FRONTEND_IMPL", None)
+        else:
+            os.environ["TFASR_FRONTEND_IMPL"] = prev
+
+
+def run_subsample():
+    """Conv2dSubsampling (as in _conformer_small) + linear proj, fwd+bwd."""
+    import flax.linen as nn
+
+    from tensorflowasr_tpu.models.layers.subsampling import Conv2dSubsampling
+
+    TF = NSAMPLES // 160 + 1  # frames
+
+    class Sub(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            x, _ = Conv2dSubsampling(
+                filters=(D, D),
+                kernels=((3, 3), (3, 3)),
+                strides=((2, 2), (2, 2)),
+                paddings=("causal", "causal"),
+                norms=("batch", "batch"),
+                activations=("swish", "swish"),
+                dtype=jnp.bfloat16,
+                name="sub",
+            )(x, jnp.full((x.shape[0],), x.shape[1], jnp.int32), train=train)
+            return nn.Dense(D, dtype=jnp.bfloat16, param_dtype=jnp.float32, name="linear")(x)
+
+    return _stack_runner(Sub(), lambda x: (x,), mutable=("batch_stats",), shape=(B, TF, 80, 1))
+
+
+def run_prednet():
+    """Embedding + LSTM(320) + LN fwd+bwd over [B, U+1] tokens."""
+    from tensorflowasr_tpu.models.transducer.base import TransducerPrediction
+
+    pred = TransducerPrediction(
+        blank=0, vocab_size=V, embed_dim=320, num_rnns=1, rnn_units=320, rnn_type="lstm", layer_norm=True, dtype=jnp.bfloat16
+    )
+    tok0 = jnp.zeros((B, U + 1), jnp.int32)
+    lens = jnp.full((B,), U + 1, jnp.int32)
+    variables = pred.init({"params": jax.random.PRNGKey(0)}, tok0, lens)
+    params = variables["params"]
+
+    @jax.jit
+    def multi(params, xs):
+        def body(c, tok):
+            def loss_fn(p):
+                y = pred.apply({"params": p}, tok, lens, train=True, rngs={"dropout": jax.random.PRNGKey(1)})
+                return jnp.mean(y.astype(jnp.float32))
+
+            l, g = jax.value_and_grad(loss_fn)(params)
+            return c, l + optax_global_norm(g)
+
+        return jax.lax.scan(body, 0.0, xs)[1]
+
+    def mk(seed):
+        return jax.random.randint(jax.random.PRNGKey(seed), (K, B, U + 1), 0, V, jnp.int32)
+
+    return _timeit(functools.partial(multi, params), mk)
 
 
 def _loss_batches(seed):
@@ -290,6 +400,11 @@ RUNNERS = {
     "train_auto": lambda: run_train(False),
     "train_fused": lambda: run_train(True),
     "backbone": run_backbone,
+    "frontend": run_frontend,
+    "frontend_fwd": lambda: run_frontend_fwd("xla"),
+    "frontend_fwd_pallas": lambda: run_frontend_fwd("pallas"),
+    "subsample": run_subsample,
+    "prednet": run_prednet,
     "mhsa16": run_mhsa16,
     "conv16": run_conv16,
     "ff32": run_ff32,

@@ -91,11 +91,20 @@ class FeatureExtraction(nn.Module):
             os.environ.get("TFASR_FRONTEND_IMPL", "xla") == "pallas"
             and cfg.feature_type == "log_mel_spectrogram"
             and not cfg.use_librosa_like_stft
-            and not (cfg.normalize_signal or cfg.normalize_zscore or cfg.normalize_min_max or cfg.preemphasis)
         ):
+            # Signal-stage prep (padding/normalize/preemphasis) is one cheap
+            # elementwise pass over [B, N] in XLA; the kernel fuses framing →
+            # windowed DFT (MXU matmuls) → power → mel → log. Feature-stage
+            # normalization applies after, matching extract_features order.
             from tensorflowasr_tpu.ops.pallas.frontend_kernel import log_mel_spectrogram_pallas
 
-            features = log_mel_spectrogram_pallas(signals, cfg)
+            sig = signals
+            if cfg.padding > 0:
+                sig = jnp.pad(sig, ((0, 0), (0, cfg.padding)))
+            sig = frontend.normalize_signal(sig, cfg)
+            sig = frontend.preemphasis_signal(sig, cfg)
+            features = log_mel_spectrogram_pallas(sig, cfg)
+            features = frontend.normalize_audio_features(features, cfg)
             features_length = cfg.get_nframes(jnp.asarray(signals_length, jnp.int32))
         else:
             features, features_length = frontend.extract_features(signals, signals_length, cfg)

@@ -85,13 +85,14 @@ def log_mel_spectrogram_pallas(
     total_frames = b * nframes
     tiles = -(-total_frames // frames_per_tile)
     frames_pad = tiles * frames_per_tile
-    # im2col framing in XLA (Mosaic can't dynamic-slice along lanes); the
-    # kernel then fuses windowed-DFT → power → mel → log with one HBM read
-    # of the frames and one write of the features
-    total = (nframes - 1) * fs + fl_pad
-    sig = jnp.pad(signal.astype(jnp.float32), ((0, 0), (0, max(0, total - n))))
-    idx = (jnp.arange(nframes) * fs)[:, None] + jnp.arange(fl_pad)[None, :]
-    frames = sig[:, idx].reshape(total_frames, fl_pad)
+    # im2col framing in XLA (Mosaic can't dynamic-slice along lanes) via the
+    # gather-free strided-slice framing in ops.frontend; the kernel then
+    # fuses windowed-DFT → power → mel → log with one HBM read of the frames
+    # and one write of the features. Frames carry fl_pad raw samples — the
+    # basis rows past frame_length are zero, so the excess contributes
+    # nothing.
+    frames = frontend_ops.frame_signal(signal.astype(jnp.float32), fl_pad, fs, pad_end=True)
+    frames = frames[:, :nframes].reshape(total_frames, fl_pad)
     frames = jnp.pad(frames, ((0, frames_pad - total_frames), (0, 0)))
 
     cos_b, sin_b = _dft_bases(fl, nfft)
