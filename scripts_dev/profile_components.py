@@ -287,7 +287,7 @@ def run_frontend_fwd(impl="xla"):
             os.environ["TFASR_FRONTEND_IMPL"] = prev
 
 
-def run_subsample():
+def run_subsample(norm="batch", act="swish"):
     """Conv2dSubsampling (as in _conformer_small) + linear proj, fwd+bwd."""
     import flax.linen as nn
 
@@ -303,8 +303,8 @@ def run_subsample():
                 kernels=((3, 3), (3, 3)),
                 strides=((2, 2), (2, 2)),
                 paddings=("causal", "causal"),
-                norms=("batch", "batch"),
-                activations=("swish", "swish"),
+                norms=(norm, norm),
+                activations=(act, act),
                 dtype=jnp.bfloat16,
                 name="sub",
             )(x, jnp.full((x.shape[0],), x.shape[1], jnp.int32), train=train)
@@ -404,6 +404,7 @@ RUNNERS = {
     "frontend_fwd": lambda: run_frontend_fwd("xla"),
     "frontend_fwd_pallas": lambda: run_frontend_fwd("pallas"),
     "subsample": run_subsample,
+    "subsample_raw": lambda: run_subsample("none", "linear"),
     "prednet": run_prednet,
     "mhsa16": run_mhsa16,
     "conv16": run_conv16,
