@@ -91,6 +91,10 @@ class FeatureExtraction(nn.Module):
             os.environ.get("TFASR_FRONTEND_IMPL", "xla") == "pallas"
             and cfg.feature_type == "log_mel_spectrogram"
             and not cfg.use_librosa_like_stft
+            # the kernel hardcodes pad-end framing and natural log; other
+            # configs must take the XLA path (ADVICE r3)
+            and cfg.pad_end
+            and cfg.log_base == "e"
         ):
             # Signal-stage prep (padding/normalize/preemphasis) is one cheap
             # elementwise pass over [B, N] in XLA; the kernel fuses framing →

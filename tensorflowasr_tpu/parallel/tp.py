@@ -97,7 +97,7 @@ def _psum_rep(x, axis: str):
     """All-reduce whose output is consumed identically on every rank of
     ``axis`` (the loss is counted once, not per rank). The mathematically
     correct VJP is then the IDENTITY — each rank keeps its own cotangent.
-    JAX's default transpose under ``check_rep=False`` is psum-again, which
+    JAX's default transpose under ``check_vma=False`` is psum-again, which
     multiplies cotangents by the axis size and breaks every gradient
     flowing through the collective."""
     return jax.lax.psum(x, axis)
@@ -164,7 +164,7 @@ def make_tp_train_step(model, tx: optax.GradientTransformation, mesh: Mesh):
     Returns ``step_fn(state, batch) -> (state, metrics)`` (call with a
     host batch; it is placed and jitted internally).
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map  # jax.experimental.shard_map is deprecated in v0.8
 
     from tensorflowasr_tpu.training.trainer import TrainState  # noqa: F401 (type)
 
@@ -259,7 +259,7 @@ def make_tp_train_step(model, tx: optax.GradientTransformation, mesh: Mesh):
                 mesh=mesh,
                 in_specs=(state_specs, bspecs),
                 out_specs=(state_specs, {"loss": P(), "grad_norm": P()}),
-                check_rep=False,
+                check_vma=False,
             )
             cache[key] = jax.jit(fn, donate_argnums=(0,))
         return cache[key](state, batch)

@@ -441,3 +441,123 @@ def test_train_step_loss_and_grad_parity(ref_setup, tmp_path):
             flat_our[k], flat_ref[k], rtol=2e-3, atol=3e-5,
             err_msg=f"gradient mismatch at {k}",
         )
+
+
+@pytest.mark.slow
+def test_training_trajectory_parity(ref_setup, tmp_path):
+    """K-STEP training-trajectory parity vs the reference's own fit loop:
+    identical converted weights + identical batch sequence + SGD(0.05) →
+    the per-step loss sequence, the final parameter tree, AND the final
+    BatchNorm running statistics all match the reference
+    (``models/base_model.py:149-209`` train_step driven through the actual
+    compiled Keras model). Extends the one-step loss+gradient parity above
+    to pin optimizer application order, BN running-stat momentum, and loss
+    normalization *over time* — the semantics WER parity depends on."""
+    import tensorflow as tf
+    from keras import optimizers as keras_optimizers
+
+    from tensorflow_asr import schemas as ref_schemas
+    from tensorflow_asr.models.transducer.conformer import Conformer as RefConformer
+
+    import flax
+
+    from tensorflowasr_tpu import schemas
+    from tensorflowasr_tpu.convert import load_transducer_h5
+    from tensorflowasr_tpu.optimizers import build_optimizer
+    from tensorflowasr_tpu.training import Trainer
+
+    K, B, lr = 5, 8, 0.05
+    n, u = ref_setup["n"], ref_setup["u"]
+    drng = np.random.default_rng(99)
+    # K distinct FULL-length batches (padded rows would open the documented
+    # Keras-BN-ignores-masks channel, see the gradient-parity docstring)
+    seq = [
+        (
+            (drng.standard_normal((B, n)) * 0.1).astype(np.float32),
+            np.pad(drng.integers(1, 12, (B, u)), ((0, 0), (1, 0))).astype(np.int32),
+        )
+        for _ in range(K)
+    ]
+
+    # --- reference: its own train_step loop (compiled model, eager) --- #
+    # nfft 256→512: the reference's _train_step watches the raw inputs
+    # (base_model.py:153-154), pulling the STFT into the backprop graph, and
+    # TF's rfft gradient is broken when nfft < frame_length (400 samples @
+    # 25 ms). Production configs use nfft=512 ≥ frame_length; the h5 weights
+    # are frontend-independent, so both sides just swap the speech config.
+    speech512 = {**ref_oracle.TINY_CONFORMER_CONFIG["speech_config"], "nfft": 512}
+    traj_cfg = {**ref_oracle.TINY_CONFORMER_CONFIG, "speech_config": speech512}
+    tf.keras.utils.set_random_seed(42)
+    ref_model = RefConformer(**traj_cfg)
+    ref_model.make(batch_size=B)
+    ref_model.load_weights(ref_setup["h5"])
+    # the transducer's compile() constructs its own RnntLoss(blank) internally
+    ref_model.compile(optimizer=keras_optimizers.SGD(learning_rate=lr), run_eagerly=True)
+
+    ref_losses = []
+    for inputs, preds in seq:
+        ti = ref_schemas.TrainInput(
+            inputs=tf.constant(inputs),
+            inputs_length=tf.constant([n] * B, tf.int32),
+            predictions=tf.constant(preds),
+            predictions_length=tf.constant([u + 1] * B, tf.int32),
+        )
+        y = ref_schemas.TrainLabel(labels=tf.constant(preds[:, 1:]), labels_length=tf.constant([u] * B, tf.int32))
+        ref_model.reset_metrics()  # per-step loss, not the epoch running mean
+        metrics = ref_model.train_step((ti, y))
+        ref_losses.append(float(metrics["loss"]))
+    h5_final = str(tmp_path / "ref_final.weights.h5")
+    ref_model.save_weights(h5_final)
+
+    # --- ours: real Trainer loop on converted weights --- #
+    from tensorflowasr_tpu.models.transducer.conformer import Conformer
+
+    our_cfg = {**traj_cfg, "encoder_subsampling": {
+        "class_name": "Conv2dSubsampling",
+        "config": dict(traj_cfg["encoder_subsampling"]["config"]),
+    }}
+    model = Conformer.from_config(our_cfg, dtype=jnp.float32)
+
+    def make_batch(inputs, preds):
+        return schemas.TrainData(
+            inputs=schemas.TrainInput(
+                inputs=jnp.asarray(inputs),
+                inputs_length=jnp.full((B,), n, jnp.int32),
+                predictions=jnp.asarray(preds),
+                predictions_length=jnp.full((B,), u + 1, jnp.int32),
+            ),
+            labels=schemas.TrainLabel(
+                labels=jnp.asarray(preds[:, 1:]), labels_length=jnp.full((B,), u, jnp.int32)
+            ),
+        )
+
+    batch0 = make_batch(*seq[0])
+    variables = model.init({"params": jax.random.PRNGKey(0)}, batch0.inputs, train=False)
+    variables = load_transducer_h5(ref_setup["h5"], variables)
+    tx = build_optimizer({"class_name": "SGD", "config": {"learning_rate": lr}})
+    trainer = Trainer(model, tx)
+    state = trainer.init_state(batch0)
+    state = state.replace(params=variables["params"], batch_stats=variables.get("batch_stats", {}))
+
+    our_losses = []
+    for inputs, preds in seq:
+        state, metrics = trainer.train_step(state, make_batch(inputs, preds))
+        our_losses.append(float(metrics["loss"]))
+
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=5e-4, atol=5e-4, err_msg="per-step loss trajectory diverged")
+
+    # final params AND BN running stats via the same converter mapping
+    ref_final = load_transducer_h5(h5_final, variables)
+    flat_ref = flax.traverse_util.flatten_dict(ref_final["params"], sep="/")
+    flat_our = flax.traverse_util.flatten_dict(jax.device_get(state.params), sep="/")
+    assert set(flat_ref) == set(flat_our)
+    for k in sorted(flat_our):
+        np.testing.assert_allclose(flat_our[k], flat_ref[k], rtol=2e-3, atol=5e-5, err_msg=f"final param mismatch at {k}")
+
+    flat_ref_bs = flax.traverse_util.flatten_dict(ref_final.get("batch_stats", {}), sep="/")
+    flat_our_bs = flax.traverse_util.flatten_dict(jax.device_get(state.batch_stats), sep="/")
+    assert set(flat_ref_bs) == set(flat_our_bs) and flat_ref_bs, "no BN running stats compared"
+    for k in sorted(flat_our_bs):
+        np.testing.assert_allclose(
+            flat_our_bs[k], flat_ref_bs[k], rtol=2e-3, atol=5e-5, err_msg=f"BN running-stat mismatch at {k}"
+        )

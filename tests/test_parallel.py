@@ -254,7 +254,7 @@ def test_tp_vocab_sharded_step_matches_dp():
 
 def test_tp_loss_matches_unsharded_loss():
     """tp_rnnt_loss under shard_map == rnnt_loss on the gathered logits."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     from tensorflowasr_tpu.ops.rnnt_loss import rnnt_loss
@@ -275,7 +275,7 @@ def test_tp_loss_matches_unsharded_loss():
         mesh=mesh,
         in_specs=(P("data", None, None, "model"), P("data"), P("data"), P("data")),
         out_specs=P("data"),
-        check_rep=False,
+        check_vma=False,
     )
     got = jax.jit(fn)(logits, tl, labels, ul)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
