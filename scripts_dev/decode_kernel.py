@@ -1,4 +1,10 @@
-"""Fused single-kernel transducer greedy decode (Pallas TPU) — opt-in.
+"""Fused single-kernel transducer greedy decode (Pallas TPU) — RECORDED
+NEGATIVE RESULT, demoted from the shipping package (round 4).
+
+It loses to the shipping XLA ``lax.while_loop`` WIND decode on v5e (numbers
+below) because the on-device loop is latency-floor-bound; kept here with its
+parity canary (decode_kernel_canary.py) for chips where the tradeoff flips.
+See docs/design/fused_decode_negative_result.md for the full analysis.
 
 The entire batched WIND greedy loop — windowed joint, non-blank scan, LSTM
 prediction-network steps, token emission — runs inside ONE Pallas kernel:
@@ -14,9 +20,7 @@ vs 0.69 ms per 8-frame streaming chunk (B=1, 64-chunk scan), 0.187 s vs
 0.164 s for batch-8 10 s utterances at worst-case emission density — the
 XLA on-device loop is already latency-bound, and Mosaic's per-iteration
 scalar-loop overhead outweighs the VMEM-residency win at these weight
-sizes. It is therefore OPT-IN via ``TFASR_DECODE_IMPL=fused`` and kept as
-the vehicle for kernel-level decode work (e.g. batched-beam variants, or
-chips where the tradeoff flips); ``auto`` uses the XLA path. Exactness vs
+sizes. Exactness vs
 the XLA loop is tested token-for-token/state-for-state (interpret mode)
 and emission-count-exact on device.
 

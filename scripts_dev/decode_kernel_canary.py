@@ -1,19 +1,31 @@
 """Fused single-kernel greedy decode vs the XLA WIND loop: exact parity.
 
-The Pallas decode kernel (ops/pallas/decode_kernel.py) must reproduce the
-XLA path token-for-token, length-for-length, and state-for-state — including
-the streaming carry (chunk boundaries) — across prediction-net configs
+The Pallas decode kernel (scripts_dev/decode_kernel.py — demoted from the
+shipping package as a recorded negative result, see
+docs/design/fused_decode_negative_result.md) must reproduce the XLA path
+token-for-token, length-for-length, and state-for-state — including the
+streaming carry (chunk boundaries) — across prediction-net configs
 (1/2 LSTM layers, with/without LayerNorm and projection).
+
+Run manually: `python -m pytest scripts_dev/decode_kernel_canary.py -q`
+(not collected by the default suite).
 """
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from decode_kernel import extract_decode_params, fused_greedy_decode
+
 from tensorflowasr_tpu.models.transducer.base import TransducerJoint, TransducerPrediction
 from tensorflowasr_tpu.ops import transducer_decode
-from tensorflowasr_tpu.ops.pallas.decode_kernel import extract_decode_params, fused_greedy_decode
 
 
 def _build(vocab=16, embed=12, units=10, num_rnns=1, layer_norm=True, proj=0, joint_dim=14, enc_dim=9, seed=0):
@@ -117,47 +129,5 @@ def test_fused_decode_unsupported_config_returns_none():
     assert extract_decode_params(dict(label_encoder_mode="embedding"), jc2, {}) is None
 
 
-def test_recognize_fused_env_matches_xla(monkeypatch):
-    """recognize() with TFASR_DECODE_IMPL=fused == the XLA wind path on a
-    real (tiny) transducer model end-to-end (audio -> frontend -> encoder ->
-    decode), same tokens and carried state."""
-    from tensorflowasr_tpu import schemas
-    from tensorflowasr_tpu.models.transducer import base as transducer_base
-    from tensorflowasr_tpu.models.transducer.rnnt import RnnTransducer
-
-    model = RnnTransducer.from_config(
-        {
-            "speech_config": {"num_feature_bins": 20, "nfft": 256},
-            "encoder_reduction_positions": ["pre"],
-            "encoder_reduction_factors": [2],
-            "encoder_nlayers": 1,
-            "encoder_dmodel": 16,
-            "encoder_rnn_units": 16,
-            "prediction_embed_dim": 8,
-            "prediction_num_rnns": 1,
-            "prediction_rnn_units": 16,
-            "joint_dim": 16,
-            "vocab_size": 12,
-        }
-    )
-    rng = np.random.default_rng(0)
-    n = 3200
-    sig = jnp.asarray(rng.standard_normal((1, n)), jnp.float32)
-    ti = schemas.TrainInput(
-        inputs=sig, inputs_length=jnp.asarray([n]), predictions=jnp.zeros((1, 2), jnp.int32), predictions_length=jnp.asarray([2])
-    )
-    variables = model.init({"params": jax.random.PRNGKey(0)}, ti, train=False)
-    pin = schemas.PredictInput(inputs=sig, inputs_length=jnp.asarray([n]))
-
-    monkeypatch.setenv("TFASR_DECODE_IMPL", "xla")
-    out_x = transducer_base.recognize(model, variables, pin)
-    monkeypatch.setenv("TFASR_DECODE_IMPL", "fused")
-    out_f = transducer_base.recognize(model, variables, pin)
-
-    np.testing.assert_array_equal(np.asarray(out_f.tokens), np.asarray(out_x.tokens))
-    np.testing.assert_array_equal(np.asarray(out_f.next_tokens), np.asarray(out_x.next_tokens))
-    jax.tree.map(
-        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
-        out_f.next_decoder_states,
-        out_x.next_decoder_states,
-    )
+if __name__ == "__main__":
+    raise SystemExit(pytest.main([__file__, "-q"]))

@@ -18,7 +18,6 @@ Decoding entry points (``recognize_*``) are free functions operating on
 
 from __future__ import annotations
 
-import os
 from typing import Any, Optional, Sequence
 
 import flax.linen as nn
@@ -317,49 +316,28 @@ def recognize(
             encoded, encoded_length, step_fn, prev_tokens, decoder_states, beam_width=beam_width, blank=model.blank
         )
     elif decode_mode == "wind" and max_symbols_per_frame is None:
-        fused_params = None
-        impl = os.environ.get("TFASR_DECODE_IMPL", "auto").lower()
-        if impl == "fused":
-            # fully-fused Pallas decode (opt-in): prediction net + joint
-            # resident in VMEM, whole WIND loop in one kernel. Measured on
-            # v5e it does NOT beat the XLA while_loop (1.05 vs 0.69 ms per
-            # streaming chunk; 0.187 vs 0.164 s batch-8 full-utterance) —
-            # XLA's on-device loop is already latency-floor-bound here — so
-            # "auto" keeps the XLA path. None → unsupported config fallback.
-            from tensorflowasr_tpu.ops.pallas.decode_kernel import extract_decode_params, fused_greedy_decode
+        # A fully-fused single-Pallas-kernel decode was built and measured
+        # SLOWER than this XLA while_loop (1.05 vs 0.69 ms per streaming
+        # chunk on v5e — the on-device loop is latency-floor-bound); it
+        # lives in scripts_dev/decode_kernel.py as a recorded negative
+        # result, see docs/design/fused_decode_negative_result.md.
+        def pred_step_fn(tok, states):
+            return model.apply(variables, tok, states, method=model.pred_step)
 
-            fused_params = extract_decode_params(
-                model.prediction_config, model.joint_config, variables["params"], model.dtype
-            )
-        if fused_params is not None:
-            tokens, lengths, next_tokens, next_decoder_states = fused_greedy_decode(
-                encoded,
-                encoded_length,
-                fused_params,
-                prev_tokens,
-                decoder_states,
-                blank=model.blank,
-                window=window,
-                max_token_factor=max_token_factor,
-            )
-        else:
-            def pred_step_fn(tok, states):
-                return model.apply(variables, tok, states, method=model.pred_step)
+        def joint_window_fn(enc_win, pred_out):
+            return model.apply(variables, enc_win, pred_out, method=model.joint_window)
 
-            def joint_window_fn(enc_win, pred_out):
-                return model.apply(variables, enc_win, pred_out, method=model.joint_window)
-
-            tokens, lengths, next_tokens, next_decoder_states = transducer_decode.transducer_greedy_decode_wind(
-                encoded,
-                encoded_length,
-                pred_step_fn,
-                joint_window_fn,
-                prev_tokens,
-                decoder_states,
-                blank=model.blank,
-                window=window,
-                max_token_factor=max_token_factor,
-            )
+        tokens, lengths, next_tokens, next_decoder_states = transducer_decode.transducer_greedy_decode_wind(
+            encoded,
+            encoded_length,
+            pred_step_fn,
+            joint_window_fn,
+            prev_tokens,
+            decoder_states,
+            blank=model.blank,
+            window=window,
+            max_token_factor=max_token_factor,
+        )
     else:
         # decode in the model's native dtype (bf16 on TPU): 1.4x faster loop
         tokens, lengths, next_tokens, next_decoder_states = transducer_decode.transducer_greedy_decode(
