@@ -1,87 +1,89 @@
-"""Defaults-are-fast regression: at the flagship bench shapes the ``auto``
-dispatch MUST select every fused Pallas path.
+"""Defaults-are-fast regression: at the flagship bench shapes every fused
+Pallas path must be SELECTED under the default (``auto``) dispatch.
 
-The round-3 perf work (fused rel-attention kernel B, fused FF, fused conv,
-flash-RNN-T fused joint+loss) is wired behind shape gates and env toggles; a
-silent fallback (e.g. a padding change landing a lane dim in the refused
-384-lane axon-hang bucket) would erase the wins with no red test. These are
-pure shape-math predicates, checkable on CPU with no compilation.
+Round 3's perf work (fused rel-attention kernel B, fused FF, fused conv,
+flash-RNN-T fused joint+loss) is wired through shape gates and env toggles
+(``TFASR_{ATTN,FF,CONV,LOSS}_IMPL``). A silent fallback — e.g. a padding
+change landing a lane dim in the bisected 384-lane axon hang bucket, which
+the FF/conv gates refuse — would erase the measured wins (bs16 step
+121→~63 ms) without any test going red. These assertions are pure shape
+math, CPU-checkable.
 
-Flagship shapes = bench.py Conformer-S train bench: 16 s audio → T=1600
-frames → T=400 post-subsampling; S=T (no memory); non-causal rel R=2T-1;
-D=144, FF hidden 4D=576, conv kernel 31 causal; U+1=129, V=256; bs 4..64.
+Flagship shape = the bench.py / __graft_entry__ Conformer-S transducer:
+B=16, 16 s audio → T=400 post-subsampling frames, D=144, H=4, FF=4D=576,
+conv kernel 31 causal, U+1=129, V=256, rel positions R=2T-1=799.
 """
-
-import importlib
 
 import pytest
 
-# bench flagship dims
-T = 400  # 16 s, 10 ms hop, /4 subsampling
-D = 144
-F = 4 * D
-KERNEL = 31
-VOCAB = 256
+B, T, D, FF, V = 16, 400, 144, 4 * 144, 256
+S = T  # no streaming memory in the flagship config
+R = 2 * T - 1  # non-causal relative positions
+CONV_K, CONV_PAD = 31, "causal"
 
 
-def _clean_env(monkeypatch):
+@pytest.fixture(autouse=True)
+def _default_env(monkeypatch):
+    """The defaults under test are what a user gets with NO env overrides."""
     for var in ("TFASR_ATTN_IMPL", "TFASR_FF_IMPL", "TFASR_CONV_IMPL", "TFASR_LOSS_IMPL"):
         monkeypatch.delenv(var, raising=False)
 
 
-def test_auto_selects_fused_rel_attention(monkeypatch):
-    _clean_env(monkeypatch)
-    from tensorflowasr_tpu.models.layers import attention
+def test_rel_attention_fused_selected_at_flagship_shape():
+    from tensorflowasr_tpu.models.layers.attention import _use_rel_fused_attention
 
-    # kernel B (fully-fused rel attention) at bench shapes, causal (R=T)
-    # and non-causal (R=2T-1) variants
-    assert attention._use_rel_fused_attention(T, T, 2 * T - 1)
-    assert attention._use_rel_fused_attention(T, T, T)
-    # vanilla MHA kernel A
-    assert attention._use_fused_attention(T, T)
-    # decode-time single-frame shapes may fall back — not asserted here
+    assert _use_rel_fused_attention(T, S, R), "kernel B (fused rel attention) must be default at bench shape"
 
 
-def test_auto_selects_fused_ff_and_conv(monkeypatch):
-    _clean_env(monkeypatch)
-    from tensorflowasr_tpu.models.encoders import conformer
+def test_vanilla_attention_fused_selected_at_flagship_shape():
+    from tensorflowasr_tpu.models.layers.attention import _use_fused_attention
 
-    for bs in (4, 8, 16, 32, 64):
-        assert conformer._use_fused_ff(bs * T, D, F), f"FF fell back at bs={bs}"
-    assert conformer._use_fused_conv(T, D, KERNEL, "causal")
-    assert conformer._use_fused_conv(T, D, KERNEL, "same")
+    assert _use_fused_attention(T, S)
 
 
-def test_auto_selects_fused_joint_loss(monkeypatch):
-    _clean_env(monkeypatch)
-    from tensorflowasr_tpu.training import trainer as trainer_mod
+def test_ff_fused_selected_at_flagship_shape():
+    from tensorflowasr_tpu.models.encoders.conformer import _use_fused_ff
+
+    assert _use_fused_ff(B * T, D, FF), "fused FF module must be default at bench shape"
+
+
+def test_conv_fused_selected_at_flagship_shape():
+    from tensorflowasr_tpu.models.encoders.conformer import _use_fused_conv
+
+    assert _use_fused_conv(T, D, CONV_K, CONV_PAD), "fused conv module must be default at bench shape"
+
+
+def test_flagship_dims_avoid_384_lane_bucket():
+    """D=144 pads to 256 lanes and FF=576 to 640 — neither may drift into
+    the 384-lane (3-tile) bucket the gates refuse (rnnt_kernel bisect)."""
+    from tensorflowasr_tpu.utils.math_util import round_up
+
+    assert round_up(D, 128) != 384
+    assert round_up(FF, 128) != 384
+    # and the gates DO refuse the bucket (the fallback the bisect mandates)
+    from tensorflowasr_tpu.models.encoders.conformer import _use_fused_conv, _use_fused_ff
+
+    assert not _use_fused_ff(B * T, 384, FF)
+    assert not _use_fused_conv(T, 384, CONV_K, CONV_PAD)
+
+
+def test_fused_joint_loss_selected_for_flagship_model():
+    """TFASR_LOSS_IMPL unset (auto) + the flagship joint config → the
+    flash-RNN-T fused joint+loss kernel (the 2.0× round-3 win) is chosen."""
+    import os
+
     from __graft_entry__ import _conformer_small
+    from tensorflowasr_tpu.training.trainer import _fused_joint_supported
 
-    model = _conformer_small(vocab_size=VOCAB, num_blocks=16, dmodel=D)
-    assert trainer_mod._fused_joint_supported(model)
-
-
-def test_384_lane_bucket_still_refused(monkeypatch):
-    """The axon 384-lane hang bucket must keep falling back to XLA: these
-    predicates returning True again would reintroduce the bisected TPU
-    worker hang (scripts_dev/rnnt_bisect.py, CLAUDE.md kernel rules)."""
-    _clean_env(monkeypatch)
-    from tensorflowasr_tpu.ops.pallas.conv_kernel import conv_shapes_supported
-    from tensorflowasr_tpu.ops.pallas.ff_kernel import ff_shapes_supported
-
-    assert not ff_shapes_supported(6400, 384, F)
-    assert not ff_shapes_supported(6400, D, 384)
-    assert not conv_shapes_supported(T, 384, KERNEL, "causal")
+    model = _conformer_small()
+    assert _fused_joint_supported(model)
+    assert os.environ.get("TFASR_LOSS_IMPL", "auto").lower() in ("auto", "fused-joint")
 
 
-def test_explicit_xla_override_respected(monkeypatch):
-    monkeypatch.setenv("TFASR_ATTN_IMPL", "xla")
-    monkeypatch.setenv("TFASR_FF_IMPL", "xla")
-    monkeypatch.setenv("TFASR_CONV_IMPL", "xla")
-    from tensorflowasr_tpu.models.encoders import conformer
-    from tensorflowasr_tpu.models.layers import attention
+def test_streaming_chunk_shape_also_fused():
+    """The streaming bench shape (chunk 16, history 64 → S=T+memory) must
+    not silently fall back either."""
+    from tensorflowasr_tpu.models.layers.attention import _use_rel_fused_attention
 
-    assert not attention._use_rel_fused_attention(T, T, 2 * T - 1)
-    assert not attention._use_fused_attention(T, T)
-    assert not conformer._use_fused_ff(16 * T, D, F)
-    assert not conformer._use_fused_conv(T, D, KERNEL, "causal")
+    t, s = 16, 16 + 64
+    assert _use_rel_fused_attention(t, s, s + t - 1) or _use_rel_fused_attention(t, s, 2 * t - 1 + 64)
