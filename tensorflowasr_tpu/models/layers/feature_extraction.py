@@ -20,6 +20,31 @@ from tensorflowasr_tpu.augmentations import Augmentation
 from tensorflowasr_tpu.ops import frontend
 
 
+def _use_pallas_frontend(cfg, backend: str | None = None) -> bool:
+    """Fused frontend kernel dispatch (TFASR_FRONTEND_IMPL=auto|pallas|xla).
+
+    ``auto`` (default) picks the Pallas kernel on accelerators (measured
+    6.9 vs 8.0 ms fwd at the bs16 bench shape, docs/design/step_profile_r4.md)
+    and keeps XLA on CPU, where the kernel would run in interpret mode.
+    The kernel hardcodes pad-end framing and natural log; other configs
+    always take the XLA path (ADVICE r3)."""
+    import os
+
+    impl = os.environ.get("TFASR_FRONTEND_IMPL", "auto").lower()
+    if impl == "xla":
+        return False
+    supported = (
+        cfg.feature_type == "log_mel_spectrogram"
+        and not cfg.use_librosa_like_stft
+        and cfg.pad_end
+        and cfg.log_base == "e"
+    )
+    if impl == "pallas":
+        return supported
+    backend = backend if backend is not None else jax.default_backend()
+    return supported and backend != "cpu"
+
+
 class FeatureExtraction(nn.Module):
     sample_rate: int = 16000
     frame_ms: int = 25
@@ -85,17 +110,7 @@ class FeatureExtraction(nn.Module):
         if train and aug.signal_augmentations:
             signals, signals_length = aug.signal_augment(signals, signals_length, k_sig)
 
-        import os
-
-        if (
-            os.environ.get("TFASR_FRONTEND_IMPL", "xla") == "pallas"
-            and cfg.feature_type == "log_mel_spectrogram"
-            and not cfg.use_librosa_like_stft
-            # the kernel hardcodes pad-end framing and natural log; other
-            # configs must take the XLA path (ADVICE r3)
-            and cfg.pad_end
-            and cfg.log_base == "e"
-        ):
+        if _use_pallas_frontend(cfg):
             # Signal-stage prep (padding/normalize/preemphasis) is one cheap
             # elementwise pass over [B, N] in XLA; the kernel fuses framing →
             # windowed DFT (MXU matmuls) → power → mel → log. Feature-stage

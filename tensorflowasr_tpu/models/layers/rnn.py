@@ -11,6 +11,7 @@ with flax cells compiled to XLA while loops. Supports:
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional
 
 import flax.linen as nn
@@ -18,6 +19,23 @@ import jax
 import jax.numpy as jnp
 
 RNN_TYPES = ("lstm", "gru", "rnn")
+
+
+def _use_fused_lstm(b: int, t: int, h: int) -> bool:
+    """Fused whole-sequence LSTM kernel dispatch (TFASR_RNN_IMPL=auto|pallas|xla).
+
+    Measured PARITY, not a win (v5e, prednet shape B=16 T=129 H=320,
+    fwd+bwd: kernel 5.1-5.6 ms vs scan 5.0-5.7 ms) — the sequential chain
+    is bound by MXU pass latency of the tiny-M recurrent matmul, a floor
+    both implementations share; see docs/design/fused_lstm.md. ``auto``
+    therefore keeps XLA's scan (no Mosaic risk); the kernel stays available
+    as ``TFASR_RNN_IMPL=pallas``."""
+    impl = os.environ.get("TFASR_RNN_IMPL", "auto").lower()
+    if impl != "pallas":
+        return False
+    from tensorflowasr_tpu.ops.pallas.lstm_kernel import lstm_shapes_supported
+
+    return lstm_shapes_supported(b, t, h)
 
 
 class SimpleRNNCell(nn.RNNCellBase):
@@ -83,6 +101,21 @@ class RNN(nn.Module):
 
     def __call__(self, x: jax.Array, lengths: Optional[jax.Array] = None, initial_state=None):
         seq_lengths = None if lengths is None else jnp.asarray(lengths, jnp.int32)
+        if not self.bidirectional and self.rnn_type == "lstm" and _use_fused_lstm(x.shape[0], x.shape[1], self.units):
+            # fused Pallas path: whole time loop in one kernel. The cell is
+            # still called once at init so the param tree is identical to the
+            # lax.scan path (checkpoint/converter compatible).
+            from tensorflowasr_tpu.ops.pallas.lstm_kernel import lstm_layer_fused
+
+            if self.is_initializing():
+                carry0 = self.cell.initialize_carry(jax.random.PRNGKey(0), x[:, 0].shape)
+                self.cell(carry0, x[:, 0])
+            cell_params = self.get_variable("params", "cell")
+            if initial_state is None:
+                zero = jnp.zeros((x.shape[0], self.units), self.dtype)
+                initial_state = (zero, zero)
+            c0, h0 = initial_state
+            return lstm_layer_fused(x, cell_params, h0, c0, seq_lengths, dtype=self.dtype)
         if self.bidirectional:
             init_f, init_b = initial_state if initial_state is not None else (None, None)
             carry_f, y_f = self.rnn(x, initial_carry=init_f, seq_lengths=seq_lengths, return_carry=True)

@@ -25,7 +25,7 @@ CONV_K, CONV_PAD = 31, "causal"
 @pytest.fixture(autouse=True)
 def _default_env(monkeypatch):
     """The defaults under test are what a user gets with NO env overrides."""
-    for var in ("TFASR_ATTN_IMPL", "TFASR_FF_IMPL", "TFASR_CONV_IMPL", "TFASR_LOSS_IMPL"):
+    for var in ("TFASR_ATTN_IMPL", "TFASR_FF_IMPL", "TFASR_CONV_IMPL", "TFASR_LOSS_IMPL", "TFASR_RNN_IMPL", "TFASR_FRONTEND_IMPL"):
         monkeypatch.delenv(var, raising=False)
 
 
@@ -78,6 +78,41 @@ def test_fused_joint_loss_selected_for_flagship_model():
     model = _conformer_small()
     assert _fused_joint_supported(model)
     assert os.environ.get("TFASR_LOSS_IMPL", "auto").lower() in ("auto", "fused-joint")
+
+
+def test_lstm_default_is_scan_and_fused_is_optin():
+    """The fused whole-sequence LSTM kernel measured PARITY with XLA's scan
+    (both are MXU-pass-latency-bound at B=16; docs/design/fused_lstm.md),
+    so ``auto`` must keep the scan and ``pallas`` must opt in — with H=320
+    padding rounded past the bisected 384-lane hang bucket."""
+    import os
+
+    from tensorflowasr_tpu.models.layers.rnn import _use_fused_lstm
+    from tensorflowasr_tpu.ops.pallas.lstm_kernel import _padded_h
+
+    assert not _use_fused_lstm(B, 129, 320), "auto must keep XLA scan (measured parity)"
+    os.environ["TFASR_RNN_IMPL"] = "pallas"
+    try:
+        assert _use_fused_lstm(B, 129, 320), "pallas opt-in must support the prednet shape"
+    finally:
+        del os.environ["TFASR_RNN_IMPL"]
+    assert _padded_h(320) == 512
+
+
+def test_pallas_frontend_selected_on_accelerator():
+    """``auto`` must route the flagship frontend config (log-mel, pad-end,
+    natural log) to the Pallas kernel on non-CPU backends (6.9 vs 8.0 ms),
+    and keep XLA on CPU and for unsupported configs."""
+    import dataclasses
+
+    from tensorflowasr_tpu.models.layers.feature_extraction import _use_pallas_frontend
+    from tensorflowasr_tpu.ops.frontend import FrontendConfig
+
+    cfg = FrontendConfig()
+    assert _use_pallas_frontend(cfg, backend="tpu")
+    assert not _use_pallas_frontend(cfg, backend="cpu")
+    assert not _use_pallas_frontend(dataclasses.replace(cfg, pad_end=False), backend="tpu")
+    assert not _use_pallas_frontend(dataclasses.replace(cfg, log_base="10"), backend="tpu")
 
 
 def test_streaming_chunk_shape_also_fused():
