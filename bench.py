@@ -348,7 +348,9 @@ def main():
         record["train"] = {}
         # flagship bs16 first so the headline number lands even on a slow
         # compile-helper day; the rest in decreasing information value
-        for bs in (16, 64, 32, 8, 4):
+        # (bs128: best measured MFU — flash-RNN-T keeps the logits out of
+        # HBM so the large batch fits without remat)
+        for bs in (16, 64, 128, 32, 8, 4):
             if _remaining() < 150.0:
                 record["train"][f"bs{bs}"] = "skipped (budget)"
                 continue

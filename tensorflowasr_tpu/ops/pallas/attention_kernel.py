@@ -7,7 +7,10 @@ stack costs 48.5 ms of the 121 ms train step — dominated not by FLOPs
 content scores [B,H,T,S] bf16, f32 upcast for the masked softmax, f32
 probs, bf16 downcast — ~10 such passes per block per direction. This
 kernel keeps every [T, S] tile in VMEM; only the inputs (q/k/v, one
-combined additive-bias tensor) and outputs (context, lse) touch HBM.
+combined additive-bias tensor) and the context output touch HBM — the
+softmax stats are recomputed in the backward rather than stored, because a
+[BH, T, 1] f32 output tile-pads its minor dim to 128 lanes (128× memory:
+the round-4 bs128 OOM traced to 16 blocks × 100 MB of padded lse).
 
 The relative-position term and the −1e9 mask term are NOT computed here:
 they are XLA-side (`rel_left_shift` skew + mask merge, attention.py) and
@@ -82,7 +85,19 @@ def _dropout_mask(seed, shape, rate: float):
     return keep / jnp.float32(1.0 - rate)
 
 
-def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *, s_true: int, rate: float):
+def _softmax_rows(s):
+    """f32 softmax over lanes with its stats kept in-register: [Tp, Sp] →
+    (pn, m, l). Emitting the [T, 1] stats to HBM is a trap: XLA tiles f32
+    minor dims to 128 lanes, so a [BH, T, 1] output allocates 128× its
+    size (100 MB per block at bs128 — the round-4 OOM), which is why the
+    backward RECOMPUTES the stats instead of loading an lse residual."""
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    return p / l, m, l
+
+
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *, s_true: int, rate: float):
     f32 = jnp.float32
     bh = pl.program_id(0)
     q = q_ref[0]  # [Tp, Dp] (dtype)
@@ -94,18 +109,14 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *, s_tr
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(col < s_true, s, NEG_PAD)
 
-    m = jnp.max(s, axis=1, keepdims=True)
-    p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=1, keepdims=True)
-    lse_ref[0] = m + jnp.log(l)
-    pn = p / l
+    pn, _, _ = _softmax_rows(s)
     if rate > 0.0:
         pn = pn * _dropout_mask(seed_ref[0] + bh * jnp.int32(40499), pn.shape, rate)
     o_ref[0] = jax.lax.dot_general(pn.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=f32).astype(o_ref.dtype)
 
 
 def _bwd_kernel(
-    seed_ref, q_ref, k_ref, v_ref, bias_ref, lse_ref, do_ref, delta_ref,
+    seed_ref, q_ref, k_ref, v_ref, bias_ref, out_ref, do_ref,
     dq_ref, dk_ref, dv_ref, dbias_ref, *, s_true: int, rate: float
 ):
     f32 = jnp.float32
@@ -119,7 +130,7 @@ def _bwd_kernel(
     s = s + bias_ref[0].astype(f32)
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(col < s_true, s, NEG_PAD)
-    pn = jnp.exp(s - lse_ref[0])  # [Tp, Sp] softmax rows (lse = m + log l)
+    pn, _, _ = _softmax_rows(s)  # stats recomputed, not loaded (see _softmax_rows)
 
     if rate > 0.0:
         keep = _dropout_mask(seed_ref[0] + bh * jnp.int32(40499), pn.shape, rate)
@@ -133,7 +144,8 @@ def _bwd_kernel(
     dpn = jax.lax.dot_general(do, v.astype(f32), (((1,), (1,)), ((), ())), preferred_element_type=f32)
     if rate > 0.0:
         dpn = dpn * keep
-    ds = pn * (dpn - delta_ref[0])  # [Tp, Sp]
+    delta = jnp.sum(do * out_ref[0].astype(f32), axis=1, keepdims=True)  # [Tp, 1] in-register
+    ds = pn * (dpn - delta)  # [Tp, Sp]
     dbias_ref[0] = ds.astype(dbias_ref.dtype)
     dq_ref[0] = jax.lax.dot_general(ds.astype(k.dtype), k, (((1,), (0,)), ((), ())), preferred_element_type=f32).astype(dq_ref.dtype)
     dk_ref[0] = jax.lax.dot_general(ds.astype(q.dtype), q, (((0,), (0,)), ((), ())), preferred_element_type=f32).astype(dk_ref.dtype)
@@ -179,34 +191,31 @@ def _run_fwd(q, k, v, bias, seed, rate, interpret):
     kp = _pad3(k, sp, dp)
     vp = _pad3(v, sp, dp)
     biasp = jnp.pad(bias, ((0, 0), (0, tp - t), (0, sp - s)))
-    qspec, kspec, bspec, lspec = _specs(bh, tp, sp, dp, bias.shape[0])
+    qspec, kspec, bspec, _ = _specs(bh, tp, sp, dp, bias.shape[0])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(bh,),
         in_specs=[qspec, kspec, kspec, bspec],
-        out_specs=[qspec, lspec],
+        out_specs=qspec,
     )
-    out, lse = pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_fwd_kernel, s_true=s, rate=rate),
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((bh, tp, dp), q.dtype),
-            jax.ShapeDtypeStruct((bh, tp, 1), jnp.float32),
-        ],
+        out_shape=jax.ShapeDtypeStruct((bh, tp, dp), q.dtype),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(jnp.asarray(seed, jnp.int32).reshape(1), qp, kp, vp, biasp)
-    return out[:, :t, :d], lse
+    return out[:, :t, :d]
 
 
 def _fwd(q, k, v, bias, seed, rate, interpret):
     interpret = interpret or jax.default_backend() == "cpu"
-    out, lse = _run_fwd(q, k, v, bias, seed, rate, interpret)
-    return out, (q, k, v, bias, seed, lse, out)
+    out = _run_fwd(q, k, v, bias, seed, rate, interpret)
+    return out, (q, k, v, bias, seed, out)
 
 
 def _bwd(rate, interpret, res, g):
-    q, k, v, bias, seed, lse, out = res
+    q, k, v, bias, seed, out = res
     interpret = interpret or jax.default_backend() == "cpu"
     bh, t, d = q.shape
     s = k.shape[1]
@@ -216,17 +225,14 @@ def _bwd(rate, interpret, res, g):
     vp = _pad3(v, sp, dp)
     biasp = jnp.pad(bias, ((0, 0), (0, tp - t), (0, sp - s)))
     dop = _pad3(g.astype(jnp.float32), tp, dp)
-    # delta rows: Σ_d do ⊙ out — identical with or without dropout
-    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=2, keepdims=True)
-    delta = jnp.pad(delta, ((0, 0), (0, tp - t), (0, 0)))
-    lsep = jnp.pad(lse, ((0, 0), (0, 0), (0, 0)))
+    outp = _pad3(out, tp, dp)
 
-    qspec, kspec, bspec, lspec = _specs(bh, tp, sp, dp, bias.shape[0])
+    qspec, kspec, bspec, _ = _specs(bh, tp, sp, dp, bias.shape[0])
     dbspec = pl.BlockSpec((1, tp, sp), lambda i, *_: (i, 0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(bh,),
-        in_specs=[qspec, kspec, kspec, bspec, lspec, qspec, lspec],
+        in_specs=[qspec, kspec, kspec, bspec, qspec, qspec],
         out_specs=[qspec, kspec, kspec, dbspec],
     )
     dq, dk, dv, dbias = pl.pallas_call(
@@ -240,7 +246,7 @@ def _bwd(rate, interpret, res, g):
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(jnp.asarray(seed, jnp.int32).reshape(1), qp, kp, vp, biasp, lsep, dop, delta)
+    )(jnp.asarray(seed, jnp.int32).reshape(1), qp, kp, vp, biasp, outp, dop)
 
     dbias_full = dbias[:, :t, :s]
     if bias.shape[0] == 1:
@@ -367,15 +373,11 @@ def _rel_scores(qc_ref, qp_ref, k_ref, pos_ref, kvb_ref, qv_ref, *, t, s_true, r
     return jnp.where(col < s_true, s, NEG_PAD)
 
 
-def _rel_fwd_kernel(seed_ref, qc_ref, qp_ref, k_ref, v_ref, pos_ref, kvb_ref, qv_ref, o_ref, lse_ref, *, t, s_true, r_true, extra, causal, chunk_size, history_size, rate):
+def _rel_fwd_kernel(seed_ref, qc_ref, qp_ref, k_ref, v_ref, pos_ref, kvb_ref, qv_ref, o_ref, *, t, s_true, r_true, extra, causal, chunk_size, history_size, rate):
     f32 = jnp.float32
     bh = pl.program_id(0)
     s = _rel_scores(qc_ref, qp_ref, k_ref, pos_ref, kvb_ref, qv_ref, t=t, s_true=s_true, r_true=r_true, extra=extra, causal=causal, chunk_size=chunk_size, history_size=history_size)
-    m = jnp.max(s, axis=1, keepdims=True)
-    p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=1, keepdims=True)
-    lse_ref[0] = m + jnp.log(l)
-    pn = p / l
+    pn, _, _ = _softmax_rows(s)
     if rate > 0.0:
         pn = pn * _dropout_mask(seed_ref[0] + bh * jnp.int32(40499), pn.shape, rate)
     v = v_ref[0]
@@ -383,14 +385,14 @@ def _rel_fwd_kernel(seed_ref, qc_ref, qp_ref, k_ref, v_ref, pos_ref, kvb_ref, qv
 
 
 def _rel_bwd_kernel(
-    seed_ref, qc_ref, qp_ref, k_ref, v_ref, pos_ref, kvb_ref, qv_ref, lse_ref, do_ref, delta_ref,
+    seed_ref, qc_ref, qp_ref, k_ref, v_ref, pos_ref, kvb_ref, qv_ref, out_ref, do_ref,
     dqc_ref, dqp_ref, dk_ref, dv_ref, dpos_ref,
     *, t, s_true, r_true, extra, causal, chunk_size, history_size, rate,
 ):
     f32 = jnp.float32
     bh = pl.program_id(0)
     s = _rel_scores(qc_ref, qp_ref, k_ref, pos_ref, kvb_ref, qv_ref, t=t, s_true=s_true, r_true=r_true, extra=extra, causal=causal, chunk_size=chunk_size, history_size=history_size)
-    pn = jnp.exp(s - lse_ref[0])
+    pn, _, _ = _softmax_rows(s)  # stats recomputed, not loaded (see _softmax_rows)
     do = do_ref[0].astype(f32)
     v = v_ref[0]
     if rate > 0.0:
@@ -402,7 +404,8 @@ def _rel_bwd_kernel(
     dpn = jax.lax.dot_general(do, v.astype(f32), (((1,), (1,)), ((), ())), preferred_element_type=f32)
     if rate > 0.0:
         dpn = dpn * keep
-    ds = pn * (dpn - delta_ref[0])  # [Tp, Sp]
+    delta = jnp.sum(do * out_ref[0].astype(f32), axis=1, keepdims=True)  # [Tp, 1] in-register
+    ds = pn * (dpn - delta)  # [Tp, Sp]
 
     qc = qc_ref[0]
     qp = qp_ref[0]
@@ -505,29 +508,29 @@ def _rel_vjp_fwd(qc, qp, k, v, pos, kv_bias, q_valid, seed, rate, causal, chunk_
     assert extra >= 0, (t, s, r, pe_causal)
 
     def kern(seed_ref, *refs):
-        (qc_r, qp_r, k_r, v_r, pos_r), kvb_r, qv_r, rest = _split_opt(refs, has_kvb, has_qv, 2)
-        o_r, lse_r = rest
+        (qc_r, qp_r, k_r, v_r, pos_r), kvb_r, qv_r, rest = _split_opt(refs, has_kvb, has_qv, 1)
+        (o_r,) = rest
         _rel_fwd_kernel(
-            seed_ref, qc_r, qp_r, k_r, v_r, pos_r, kvb_r, qv_r, o_r, lse_r,
+            seed_ref, qc_r, qp_r, k_r, v_r, pos_r, kvb_r, qv_r, o_r,
             t=t, s_true=s, r_true=r, extra=extra, causal=causal, chunk_size=chunk_size, history_size=history_size, rate=rate,
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1, grid=(bh,), in_specs=[qspec, qspec, kspec, kspec, pspec] + opt_specs, out_specs=[qspec, lspec]
+        num_scalar_prefetch=1, grid=(bh,), in_specs=[qspec, qspec, kspec, kspec, pspec] + opt_specs, out_specs=qspec
     )
-    out, lse = pl.pallas_call(
+    out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((bh, tp, dp), qc.dtype), jax.ShapeDtypeStruct((bh, tp, 1), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((bh, tp, dp), qc.dtype),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(jnp.asarray(seed, jnp.int32).reshape(1), qcp, qpp, kp, vp, posp, *opt_ops)
     out = out[:, :t, : qc.shape[2]]
-    return out, (qc, qp, k, v, pos, kv_bias, q_valid, seed, lse, out)
+    return out, (qc, qp, k, v, pos, kv_bias, q_valid, seed, out)
 
 
 def _rel_vjp_bwd(rate, causal, chunk_size, history_size, interpret, pe_causal, res, g):
-    qc, qp, k, v, pos, kv_bias, q_valid, seed, lse, out = res
+    qc, qp, k, v, pos, kv_bias, q_valid, seed, out = res
     interpret_ = interpret or jax.default_backend() == "cpu"
     qcp, qpp, kp, vp, posp, kvbp, qvp, (bh, t, s, r, tp, sp, rp, dp) = _rel_pack(qc, qp, k, v, pos, kv_bias, q_valid)
     bdim = kv_bias.shape[0] if kv_bias is not None else (q_valid.shape[0] if q_valid is not None else bh)
@@ -535,16 +538,15 @@ def _rel_vjp_bwd(rate, causal, chunk_size, history_size, interpret, pe_causal, r
     qspec, kspec, pspec, lspec, opt_specs, opt_ops = _rel_build(heads, tp, sp, rp, dp, kvbp, qvp)
     has_kvb, has_qv = kvbp is not None, qvp is not None
     dop = _pad3(g.astype(jnp.float32), tp, dp)
-    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=2, keepdims=True)
-    delta = jnp.pad(delta, ((0, 0), (0, tp - t), (0, 0)))
+    outp = _pad3(out, tp, dp)
 
     extra = (r - s) if pe_causal else (r - t + 1 - s)
 
     def kern(seed_ref, *refs):
-        (qc_r, qp_r, k_r, v_r, pos_r), kvb_r, qv_r, rest = _split_opt(refs, has_kvb, has_qv, 8)
-        lse_r, do_r, dl_r, dqc_r, dqp_r, dk_r, dv_r, dpos_r = rest
+        (qc_r, qp_r, k_r, v_r, pos_r), kvb_r, qv_r, rest = _split_opt(refs, has_kvb, has_qv, 7)
+        out_r, do_r, dqc_r, dqp_r, dk_r, dv_r, dpos_r = rest
         _rel_bwd_kernel(
-            seed_ref, qc_r, qp_r, k_r, v_r, pos_r, kvb_r, qv_r, lse_r, do_r, dl_r,
+            seed_ref, qc_r, qp_r, k_r, v_r, pos_r, kvb_r, qv_r, out_r, do_r,
             dqc_r, dqp_r, dk_r, dv_r, dpos_r,
             t=t, s_true=s, r_true=r, extra=extra, causal=causal, chunk_size=chunk_size, history_size=history_size, rate=rate,
         )
@@ -552,7 +554,7 @@ def _rel_vjp_bwd(rate, causal, chunk_size, history_size, interpret, pe_causal, r
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(bh,),
-        in_specs=[qspec, qspec, kspec, kspec, pspec] + opt_specs + [lspec, qspec, lspec],
+        in_specs=[qspec, qspec, kspec, kspec, pspec] + opt_specs + [qspec, qspec],
         out_specs=[qspec, qspec, kspec, kspec, pspec],
     )
     dqc, dqp, dk, dv, dpos = pl.pallas_call(
@@ -567,7 +569,7 @@ def _rel_vjp_bwd(rate, causal, chunk_size, history_size, interpret, pe_causal, r
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret_,
-    )(jnp.asarray(seed, jnp.int32).reshape(1), qcp, qpp, kp, vp, posp, *opt_ops, lse, dop, delta)
+    )(jnp.asarray(seed, jnp.int32).reshape(1), qcp, qpp, kp, vp, posp, *opt_ops, outp, dop)
 
     d = qc.shape[2]
     return (
