@@ -6,17 +6,34 @@ for Conv2D that includes the frequency axis (``width_pad`` in the
 reference), not just time. Thin wrappers over ``flax.linen.Conv`` keeping
 params f32 and compute in ``dtype``.
 
-Strided Conv2D additionally has a gather-free im2col path (OPT-IN, a
-recorded negative result): XLA's TPU lowering of small-channel strided
-convs runs ~5× over analytic on the subsampling stack (measured 8.7 ms for
-~1.7 ms of math at bs16×16 s, where conv_0 has C_in=1), so kt·kf strided
-SLICES + one MXU GEMM — the trick that cut the frontend's framing
-13.3→6.0 ms (e193fa1) — looked promising. Measured on v5e it is 6.9×
-WORSE (subsample stack 68.7 vs 10.0 ms): unlike the frontend, whose slices
-keep a large lane dim, these patch tensors have tiny minor dims (9 for
-conv_0) that tile-pad to 128 lanes, and the sublane-strided slices/their
-pad-dilate VJPs become relayout copies. XLA's native conv stays default
-(TFASR_CONV2D_IMPL=xla|auto); im2col remains for non-TPU experiments.
+Strided Conv2D additionally has THREE opt-in GEMM lowerings — all recorded
+NEGATIVE results on v5e; XLA's native conv lowering stays the default
+(TFASR_CONV2D_IMPL=xla|auto). Motivation: XLA's TPU lowering of
+small-channel strided convs runs ~5× over analytic on the subsampling
+stack (8.7 ms for ~1.7 ms of math at bs16×16 s, where conv_0 has C_in=1).
+
+- ``im2col`` (round 3): kt·kf strided SLICES + one MXU GEMM — the trick
+  that cut the frontend's framing 13.3→6.0 ms (e193fa1). Measured 6.9×
+  WORSE (subsample stack 68.7 vs 10.0 ms): unlike the frontend, whose
+  slices keep a large lane dim, these patch tensors have tiny minor dims
+  (9 for conv_0) that tile-pad to 128 lanes, and the sublane-strided
+  slices/their pad-dilate VJPs become relayout copies.
+- ``gemm`` (round 4): fixes im2col's diagnosed failure — conv_0 becomes kt
+  time-strided slices (lane dim stays F=80) × ONE banded [kt·F, F', O]
+  GEMM whose output lands in NHWC via dot_general (no patch tensors at
+  all); conv_1 becomes kt·kf shifted slices each through a lane-dense
+  [C, O] GEMM (true conv FLOPs). Components in isolation: conv_0
+  5.75 vs 6.04 ms XLA (wins), conv_1 path dominated by the 9 slice
+  VJPs. COMPOSED subsampling stack: 59.7 vs 11.0 ms — 5.4× WORSE.
+- ``gemm1`` (round 4): banded GEMM for C_in=1 convs only, XLA conv
+  elsewhere. Composed: 13.4 vs 11.0 ms — the isolated conv_0 win inverts
+  at the layout boundary with the downstream BatchNorm/conv_1.
+
+Conclusion worth keeping: XLA's conv lowering composes (fuses BN/act,
+plans layouts across ops) better than any hand lowering here; its ~5×
+over-analytic cost at these shapes is the composed optimum of the
+alternatives tried, not low-hanging fruit. (scripts_dev/subsample_canary.py
+reproduces every number above.)
 """
 
 from __future__ import annotations
@@ -29,15 +46,22 @@ import jax
 import jax.numpy as jnp
 
 
-def _use_im2col_conv2d(padding) -> bool:
-    """im2col Conv2D dispatch (TFASR_CONV2D_IMPL=auto|im2col|xla). Measured
-    6.9× SLOWER than XLA's native conv on v5e (see module docstring), so
-    ``auto`` keeps the conv; ``im2col`` opts in (exact up to reassociation,
-    tests/test_layers.py). String paddings other than "causal" always keep
-    flax's conv."""
-    if os.environ.get("TFASR_CONV2D_IMPL", "auto").lower() != "im2col":
-        return False
-    return not (isinstance(padding, str) and padding.lower() not in ("causal",))
+def _conv2d_impl(padding) -> str:
+    """Strided-Conv2D dispatch (TFASR_CONV2D_IMPL=auto|gemm|im2col|xla).
+
+    ``im2col`` (patch concat + one GEMM) measured 6.9× SLOWER than XLA's
+    native conv on v5e (see module docstring) and stays opt-in. ``gemm``
+    is the round-4 second attempt: banded-GEMM lowering for C_in=1 convs
+    (the MXU-hostile subsampling conv_0) and per-tap shifted block GEMMs
+    for the rest — both keep every contraction lane-dense instead of the
+    9-lane patches that sank im2col. String paddings other than "causal"
+    always keep flax's conv."""
+    impl = os.environ.get("TFASR_CONV2D_IMPL", "auto").lower()
+    if impl not in ("gemm", "gemm1", "im2col"):
+        return "xla"
+    if isinstance(padding, str) and padding.lower() not in ("causal",):
+        return "xla"
+    return impl
 
 
 def _conv2d_im2col(x: jax.Array, kernel: jax.Array, bias, strides, pads, dtype) -> jax.Array:
@@ -67,6 +91,81 @@ def _conv2d_im2col(x: jax.Array, kernel: jax.Array, bias, strides, pads, dtype) 
     if bias is not None:
         y = y + bias.astype(dtype)
     return y.reshape(b, t_out, f_out, o)
+
+
+def _conv2d_cin1_gemm(x: jax.Array, kernel: jax.Array, bias, strides, pads, dtype) -> jax.Array:
+    """C_in=1 Conv2D as kt time-strided slices + ONE banded GEMM.
+
+    The frequency axis is folded into the GEMM: W1[dt, fin, fo, c] =
+    kernel[dt, df, 0, c] where ``fin == sf·fo + df − left_pad`` (zero
+    elsewhere — the band also encodes the F padding). The input keeps its
+    natural lane dim F (80 for the flagship frontend) through the slices
+    and the contraction runs over kt·F lanes, so nothing tile-pads to a
+    9-lane patch the way im2col did. ``dot_general``'s rhs keeps (fo, c)
+    as separate output dims, so the result lands in NHWC layout directly.
+    FLOPs grow kf·F/(kf·overlap) ≈ F/sf-fold vs the true conv, but the true
+    conv is ~1 GFLOP here — the MXU eats the redundancy for free while the
+    lowering stays copy-free.
+    """
+    kt, kf, cin, o = kernel.shape
+    assert cin == 1
+    st, sf = strides
+    (t0, t1), (f0, f1) = pads
+    b, t, f, _ = x.shape
+    t_out = (t + t0 + t1 - kt) // st + 1
+    f_out = (f + f0 + f1 - kf) // sf + 1
+    # static band: P[df, fin, fo] = 1 iff fin == sf*fo + df - f0
+    import numpy as _np
+
+    p = _np.zeros((kf, f, f_out), _np.float32)
+    for df in range(kf):
+        for fo in range(f_out):
+            src = sf * fo + df - f0
+            if 0 <= src < f:
+                p[df, src, fo] = 1.0
+    w1 = jnp.einsum("dsf,tdc->tsfc", jnp.asarray(p), kernel[:, :, 0, :].astype(jnp.float32))
+    w1 = w1.reshape(kt * f, f_out, o).astype(dtype)  # [kt·F, F', O]
+    xp = jnp.pad(x[..., 0], ((0, 0), (t0, t1), (0, 0))).astype(dtype)  # [B, Tp, F]
+    cols = [
+        jax.lax.slice(xp, (0, dt, 0), (b, dt + st * (t_out - 1) + 1, f), (1, st, 1))
+        for dt in range(kt)
+    ]
+    xcat = jnp.concatenate(cols, axis=-1)  # [B, T', kt·F]
+    y = jax.lax.dot_general(xcat, w1, (((2,), (0,)), ((), ())))  # [B, T', F', O]
+    if bias is not None:
+        y = y + bias.astype(dtype)
+    return y
+
+
+def _conv2d_shifted_gemm(x: jax.Array, kernel: jax.Array, bias, strides, pads, dtype) -> jax.Array:
+    """Conv2D as kt·kf shifted strided slices, each through a [C, O] GEMM.
+
+    Every tap's contraction is the full lane-dense channel dim (144 for the
+    flagship subsampling conv_1) — exactly the true conv FLOPs on the MXU,
+    no patch concat. The slices stride the T (untiled) and F (sublane)
+    dims; their VJPs are pad-dilates, which XLA handles per-tap.
+    """
+    kt, kf, cin, o = kernel.shape
+    st, sf = strides
+    (t0, t1), (f0, f1) = pads
+    b, t, f, c = x.shape
+    t_out = (t + t0 + t1 - kt) // st + 1
+    f_out = (f + f0 + f1 - kf) // sf + 1
+    xp = jnp.pad(x, ((0, 0), (t0, t1), (f0, f1), (0, 0))).astype(dtype)
+    y = None
+    for dt in range(kt):
+        for df in range(kf):
+            sl = jax.lax.slice(
+                xp,
+                (0, dt, df, 0),
+                (b, dt + st * (t_out - 1) + 1, df + sf * (f_out - 1) + 1, c),
+                (1, st, sf, 1),
+            )  # [B, T', F', C]
+            term = jax.lax.dot_general(sl, kernel[dt, df].astype(dtype), (((3,), (0,)), ((), ())))
+            y = term if y is None else y + term
+    if bias is not None:
+        y = y + bias.astype(dtype)
+    return y
 
 
 def _norm_padding(padding: Union[str, Sequence], kernel_size: Sequence[int], dilation: Sequence[int], causal_axes: Sequence[int] = ()):
@@ -133,14 +232,23 @@ class Conv2D(nn.Module):
             dtype=self.dtype,
             param_dtype=jnp.float32,
         )
-        if self.is_initializing() or tuple(self.dilation) != (1, 1) or not _use_im2col_conv2d(self.padding):
+        impl = _conv2d_impl(self.padding)
+        if self.is_initializing() or tuple(self.dilation) != (1, 1) or impl == "xla":
             return conv(x)
-        # im2col fast path on the SAME param tree (conv registered at init)
+        # GEMM fast paths on the SAME param tree (conv registered at init)
         params = self.get_variable("params", "Conv_0")
+        kernel = params["kernel"]
+        bias = params["bias"] if self.use_bias else None
+        if impl in ("gemm", "gemm1"):
+            if kernel.shape[2] == 1:
+                return _conv2d_cin1_gemm(x, kernel, bias, tuple(self.strides), tuple(pad), self.dtype)
+            if impl == "gemm1":  # C_in=1 convs only; the rest keep XLA's conv
+                return conv(x)
+            return _conv2d_shifted_gemm(x, kernel, bias, tuple(self.strides), tuple(pad), self.dtype)
         return _conv2d_im2col(
             x.astype(self.dtype),
-            params["kernel"],
-            params["bias"] if self.use_bias else None,
+            kernel,
+            bias,
             tuple(self.strides),
             tuple(pad),
             self.dtype,

@@ -49,8 +49,18 @@ _VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
 def _padded_h(h: int) -> int:
+    """H=320 rounds to 384 lanes — the bisected axon ROW-OP hang bucket —
+    so it defaults to 512 (1.7× more MXU passes on the latency-critical
+    recurrent matmul). The joint-loss kernel has since shipped 384-lane
+    matmul tiles + elementwise safely (joint_loss_kernel._lanes_j), so
+    TFASR_LSTM_PAD384=384 opts this kernel into the tighter padding for
+    on-chip measurement; per-gate slice offsets k·384 stay 128-aligned."""
+    import os
+
     hp = round_up(h, 128)
-    return 512 if hp == 384 else hp
+    if hp == 384 and os.environ.get("TFASR_LSTM_PAD384", "512") != "384":
+        return 512
+    return hp
 
 
 def _time_tile(t: int) -> int:

@@ -212,6 +212,7 @@ def test_depthwise_conv_shapes():
     assert y.shape == (2, 10, 8)
 
 
+@pytest.mark.parametrize("impl", ["im2col", "gemm"])
 @pytest.mark.parametrize(
     "cin,cout,kernel,strides,padding",
     [
@@ -221,9 +222,9 @@ def test_depthwise_conv_shapes():
         (2, 4, (3, 3), (1, 1), [(1, 1), (1, 1)]),  # explicit pads, stride 1
     ],
 )
-def test_conv2d_im2col_matches_flax_conv(cin, cout, kernel, strides, padding, monkeypatch):
-    """The im2col fast path (strided slices + GEMM) must value- and
-    grad-match flax's conv on one shared param tree."""
+def test_conv2d_fast_paths_match_flax_conv(cin, cout, kernel, strides, padding, impl, monkeypatch):
+    """The im2col and gemm fast paths (strided slices + GEMMs) must value-
+    and grad-match flax's conv on one shared param tree."""
     rng = np.random.default_rng(3)
     x = jnp.asarray(rng.standard_normal((2, 13, 9, cin)), jnp.float32)
     m = Conv2D(filters=cout, kernel_size=kernel, strides=strides, padding=padding)
@@ -232,7 +233,7 @@ def test_conv2d_im2col_matches_flax_conv(cin, cout, kernel, strides, padding, mo
     g = jax.grad(lambda v_, x_: jnp.sum(jnp.square(m.apply(v_, x_))), argnums=(0, 1))
     y_x = m.apply(v, x)
     gv_x, gx_x = g(v, x)
-    monkeypatch.setenv("TFASR_CONV2D_IMPL", "im2col")
+    monkeypatch.setenv("TFASR_CONV2D_IMPL", impl)
     y_p = m.apply(v, x)
     gv_p, gx_p = g(v, x)
     np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_x), rtol=1e-5, atol=1e-5)
@@ -240,19 +241,20 @@ def test_conv2d_im2col_matches_flax_conv(cin, cout, kernel, strides, padding, mo
     jax.tree.map(lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4), gv_p, gv_x)
 
 
-def test_conv2d_im2col_is_optin_not_default(monkeypatch):
+def test_conv2d_fast_paths_are_optin_not_default(monkeypatch):
     """im2col measured 6.9× slower than XLA's native conv on v5e (module
-    docstring) — ``auto`` must keep the conv; ``im2col`` opts in for
+    docstring) — ``auto`` must keep the conv; im2col/gemm opt in for
     causal/explicit paddings only."""
-    from tensorflowasr_tpu.models.layers.convolution import _use_im2col_conv2d
+    from tensorflowasr_tpu.models.layers.convolution import _conv2d_impl
 
     monkeypatch.delenv("TFASR_CONV2D_IMPL", raising=False)
-    assert not _use_im2col_conv2d("causal")
-    monkeypatch.setenv("TFASR_CONV2D_IMPL", "im2col")
-    assert _use_im2col_conv2d("causal")
-    assert _use_im2col_conv2d([(1, 0), (2, 0)])
-    assert not _use_im2col_conv2d("same")
-    assert not _use_im2col_conv2d("valid")
+    assert _conv2d_impl("causal") == "xla"
+    for impl in ("im2col", "gemm"):
+        monkeypatch.setenv("TFASR_CONV2D_IMPL", impl)
+        assert _conv2d_impl("causal") == impl
+        assert _conv2d_impl([(1, 0), (2, 0)]) == impl
+        assert _conv2d_impl("same") == "xla"
+        assert _conv2d_impl("valid") == "xla"
 
 
 def test_time_reduction():
