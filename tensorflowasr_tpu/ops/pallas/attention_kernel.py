@@ -116,7 +116,7 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *, s_true: int, 
 
 
 def _bwd_kernel(
-    seed_ref, q_ref, k_ref, v_ref, bias_ref, out_ref, do_ref,
+    seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
     dq_ref, dk_ref, dv_ref, dbias_ref, *, s_true: int, rate: float
 ):
     f32 = jnp.float32
@@ -144,7 +144,13 @@ def _bwd_kernel(
     dpn = jax.lax.dot_general(do, v.astype(f32), (((1,), (1,)), ((), ())), preferred_element_type=f32)
     if rate > 0.0:
         dpn = dpn * keep
-    delta = jnp.sum(do * out_ref[0].astype(f32), axis=1, keepdims=True)  # [Tp, 1] in-register
+    # delta = Σ_d do ⊙ out, with out RECOMPUTED (one extra small MXU pass)
+    # instead of stored: a [BH, T, D] residual per block tile-pads its
+    # D=36 lanes to 128 (3.6×, 50 MB/block at bs128). Replaying the
+    # forward's dtype round-trip keeps delta bit-identical to stored-out.
+    o = jax.lax.dot_general(pd.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=f32)
+    o = o.astype(q_ref.dtype).astype(f32)
+    delta = jnp.sum(do * o, axis=1, keepdims=True)  # [Tp, 1] in-register
     ds = pn * (dpn - delta)  # [Tp, Sp]
     dbias_ref[0] = ds.astype(dbias_ref.dtype)
     dq_ref[0] = jax.lax.dot_general(ds.astype(k.dtype), k, (((1,), (0,)), ((), ())), preferred_element_type=f32).astype(dq_ref.dtype)
@@ -211,11 +217,11 @@ def _run_fwd(q, k, v, bias, seed, rate, interpret):
 def _fwd(q, k, v, bias, seed, rate, interpret):
     interpret = interpret or jax.default_backend() == "cpu"
     out = _run_fwd(q, k, v, bias, seed, rate, interpret)
-    return out, (q, k, v, bias, seed, out)
+    return out, (q, k, v, bias, seed)
 
 
 def _bwd(rate, interpret, res, g):
-    q, k, v, bias, seed, out = res
+    q, k, v, bias, seed = res
     interpret = interpret or jax.default_backend() == "cpu"
     bh, t, d = q.shape
     s = k.shape[1]
@@ -225,14 +231,13 @@ def _bwd(rate, interpret, res, g):
     vp = _pad3(v, sp, dp)
     biasp = jnp.pad(bias, ((0, 0), (0, tp - t), (0, sp - s)))
     dop = _pad3(g.astype(jnp.float32), tp, dp)
-    outp = _pad3(out, tp, dp)
 
     qspec, kspec, bspec, _ = _specs(bh, tp, sp, dp, bias.shape[0])
     dbspec = pl.BlockSpec((1, tp, sp), lambda i, *_: (i, 0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(bh,),
-        in_specs=[qspec, kspec, kspec, bspec, qspec, qspec],
+        in_specs=[qspec, kspec, kspec, bspec, qspec],
         out_specs=[qspec, kspec, kspec, dbspec],
     )
     dq, dk, dv, dbias = pl.pallas_call(
@@ -246,7 +251,7 @@ def _bwd(rate, interpret, res, g):
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(jnp.asarray(seed, jnp.int32).reshape(1), qp, kp, vp, biasp, outp, dop)
+    )(jnp.asarray(seed, jnp.int32).reshape(1), qp, kp, vp, biasp, dop)
 
     dbias_full = dbias[:, :t, :s]
     if bias.shape[0] == 1:
@@ -385,7 +390,7 @@ def _rel_fwd_kernel(seed_ref, qc_ref, qp_ref, k_ref, v_ref, pos_ref, kvb_ref, qv
 
 
 def _rel_bwd_kernel(
-    seed_ref, qc_ref, qp_ref, k_ref, v_ref, pos_ref, kvb_ref, qv_ref, out_ref, do_ref,
+    seed_ref, qc_ref, qp_ref, k_ref, v_ref, pos_ref, kvb_ref, qv_ref, do_ref,
     dqc_ref, dqp_ref, dk_ref, dv_ref, dpos_ref,
     *, t, s_true, r_true, extra, causal, chunk_size, history_size, rate,
 ):
@@ -404,7 +409,13 @@ def _rel_bwd_kernel(
     dpn = jax.lax.dot_general(do, v.astype(f32), (((1,), (1,)), ((), ())), preferred_element_type=f32)
     if rate > 0.0:
         dpn = dpn * keep
-    delta = jnp.sum(do * out_ref[0].astype(f32), axis=1, keepdims=True)  # [Tp, 1] in-register
+    # delta = Σ_d do ⊙ out, with out RECOMPUTED (one extra small MXU pass)
+    # rather than stored — see _bwd_kernel: a [BH, T, D] residual per block
+    # tile-pads D=36→128 lanes (3.6×). Replaying the forward's dtype
+    # round-trip keeps delta bit-identical to stored-out.
+    o = jax.lax.dot_general(pd.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=f32)
+    o = o.astype(qc_ref.dtype).astype(f32)
+    delta = jnp.sum(do * o, axis=1, keepdims=True)  # [Tp, 1] in-register
     ds = pn * (dpn - delta)  # [Tp, Sp]
 
     qc = qc_ref[0]
@@ -526,11 +537,11 @@ def _rel_vjp_fwd(qc, qp, k, v, pos, kv_bias, q_valid, seed, rate, causal, chunk_
         interpret=interpret,
     )(jnp.asarray(seed, jnp.int32).reshape(1), qcp, qpp, kp, vp, posp, *opt_ops)
     out = out[:, :t, : qc.shape[2]]
-    return out, (qc, qp, k, v, pos, kv_bias, q_valid, seed, out)
+    return out, (qc, qp, k, v, pos, kv_bias, q_valid, seed)
 
 
 def _rel_vjp_bwd(rate, causal, chunk_size, history_size, interpret, pe_causal, res, g):
-    qc, qp, k, v, pos, kv_bias, q_valid, seed, out = res
+    qc, qp, k, v, pos, kv_bias, q_valid, seed = res
     interpret_ = interpret or jax.default_backend() == "cpu"
     qcp, qpp, kp, vp, posp, kvbp, qvp, (bh, t, s, r, tp, sp, rp, dp) = _rel_pack(qc, qp, k, v, pos, kv_bias, q_valid)
     bdim = kv_bias.shape[0] if kv_bias is not None else (q_valid.shape[0] if q_valid is not None else bh)
@@ -538,15 +549,14 @@ def _rel_vjp_bwd(rate, causal, chunk_size, history_size, interpret, pe_causal, r
     qspec, kspec, pspec, lspec, opt_specs, opt_ops = _rel_build(heads, tp, sp, rp, dp, kvbp, qvp)
     has_kvb, has_qv = kvbp is not None, qvp is not None
     dop = _pad3(g.astype(jnp.float32), tp, dp)
-    outp = _pad3(out, tp, dp)
 
     extra = (r - s) if pe_causal else (r - t + 1 - s)
 
     def kern(seed_ref, *refs):
-        (qc_r, qp_r, k_r, v_r, pos_r), kvb_r, qv_r, rest = _split_opt(refs, has_kvb, has_qv, 7)
-        out_r, do_r, dqc_r, dqp_r, dk_r, dv_r, dpos_r = rest
+        (qc_r, qp_r, k_r, v_r, pos_r), kvb_r, qv_r, rest = _split_opt(refs, has_kvb, has_qv, 6)
+        do_r, dqc_r, dqp_r, dk_r, dv_r, dpos_r = rest
         _rel_bwd_kernel(
-            seed_ref, qc_r, qp_r, k_r, v_r, pos_r, kvb_r, qv_r, out_r, do_r,
+            seed_ref, qc_r, qp_r, k_r, v_r, pos_r, kvb_r, qv_r, do_r,
             dqc_r, dqp_r, dk_r, dv_r, dpos_r,
             t=t, s_true=s, r_true=r, extra=extra, causal=causal, chunk_size=chunk_size, history_size=history_size, rate=rate,
         )
@@ -554,7 +564,7 @@ def _rel_vjp_bwd(rate, causal, chunk_size, history_size, interpret, pe_causal, r
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(bh,),
-        in_specs=[qspec, qspec, kspec, kspec, pspec] + opt_specs + [qspec, qspec],
+        in_specs=[qspec, qspec, kspec, kspec, pspec] + opt_specs + [qspec],
         out_specs=[qspec, qspec, kspec, kspec, pspec],
     )
     dqc, dqp, dk, dv, dpos = pl.pallas_call(
@@ -569,7 +579,7 @@ def _rel_vjp_bwd(rate, causal, chunk_size, history_size, interpret, pe_causal, r
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret_,
-    )(jnp.asarray(seed, jnp.int32).reshape(1), qcp, qpp, kp, vp, posp, *opt_ops, outp, dop)
+    )(jnp.asarray(seed, jnp.int32).reshape(1), qcp, qpp, kp, vp, posp, *opt_ops, dop)
 
     d = qc.shape[2]
     return (

@@ -107,12 +107,16 @@ def _fwd_kernel(
     u1p: int,
 ):
     f32 = jnp.float32
-    enc = enc_ref[0].astype(f32)  # [TT, Jp]
-    pred = pred_ref[0].astype(f32)  # [U1p, Jp]
+    # add + tanh run in the matmul dtype (bf16 in training): the VPU packs
+    # two bf16 lanes per f32 lane, halving the T·U1·J transcendental cost
+    # that dominates this kernel, and it matches the UNFUSED path exactly —
+    # ops/losses.py computes jnp.tanh on bf16 operands too. f32 inputs keep
+    # the f32 tanh (interpret-mode goldens).
+    enc = enc_ref[0].astype(wv_ref.dtype)  # [TT, Jp]
+    pred = pred_ref[0].astype(wv_ref.dtype)  # [U1p, Jp]
     z3 = enc[:, None, :] + pred[None, :, :]  # [TT, U1p, Jp]
-    # rows r = t*U1p + u; materialize the activation directly in the matmul
-    # dtype (bf16 in training) — halves the tile's VMEM footprint
-    a = jnp.tanh(z3).astype(wv_ref.dtype).reshape(tt * u1p, -1)
+    # rows r = t*U1p + u
+    a = jnp.tanh(z3).reshape(tt * u1p, -1)
     # HIGHEST only for f32 operands (Mosaic's default f32 matmul rounds to
     # one bf16 pass); bf16 operands must use DEFAULT (fp32-precision matmul
     # on bf16 vectors is rejected: "Bad lhs type")
@@ -159,10 +163,12 @@ def _bwd_kernel(
     b_idx = pl.program_id(0)
     t_idx = pl.program_id(1)
 
-    enc = enc_ref[0].astype(f32)
-    pred = pred_ref[0].astype(f32)
+    # bf16 add+tanh for bf16 inputs — see _fwd_kernel (must recompute the
+    # SAME activation values the forward produced)
+    enc = enc_ref[0].astype(wv_ref.dtype)
+    pred = pred_ref[0].astype(wv_ref.dtype)
     z3 = enc[:, None, :] + pred[None, :, :]
-    a = jnp.tanh(z3).astype(wv_ref.dtype).reshape(tt * u1p, -1)  # [TU, Jp]
+    a = jnp.tanh(z3).reshape(tt * u1p, -1)  # [TU, Jp]
     # HIGHEST only for f32 operands (Mosaic's default f32 matmul rounds to
     # one bf16 pass); bf16 operands must use DEFAULT (fp32-precision matmul
     # on bf16 vectors is rejected: "Bad lhs type")
