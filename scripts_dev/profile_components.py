@@ -396,6 +396,51 @@ def run_loss(fused: bool):
     return _timeit(lambda xs: multi(*xs), _loss_batches)
 
 
+def run_loss_split(which: str):
+    """Split the fused loss leg: 'joint_fwd' = the tile kernel producing
+    lpb/lpe/lse rows only; 'dp' = the RNN-T DP from precomputed rows
+    (loss + occupancy grads in its one pass); 'fused_fwd' = full fused
+    forward (joint kernel + DP), no backward."""
+    wv = jax.random.normal(jax.random.PRNGKey(3), (J, V), jnp.bfloat16) * 0.05
+    bv = jnp.zeros((V,), jnp.float32)
+    tl = jnp.full((B,), T, jnp.int32)
+    ul = jnp.full((B,), U, jnp.int32)
+
+    from tensorflowasr_tpu.ops.pallas.joint_loss_kernel import _joint_logprobs, rnnt_loss_fused_joint
+    from tensorflowasr_tpu.ops.pallas.rnnt_kernel import _rnnt_forward
+
+    if which == "joint_fwd":
+        def one(enc_p, pred_p, lab):
+            lpb, lpe, lse = _joint_logprobs(enc_p, pred_p, wv, bv, lab, False)
+            return jnp.sum(lpb) + jnp.sum(lpe) + jnp.sum(lse)
+
+    elif which == "dp":
+        def one(enc_p, pred_p, lab):
+            # stand-in rows shaped like the joint kernel's output (values
+            # don't affect the DP's control flow — static shapes)
+            lpb = -jnp.abs(enc_p[..., :1]) * jnp.ones((1, 1, U + 1), jnp.float32)
+            lpe = -jnp.abs(pred_p[:, None, :, 0]) * jnp.ones((1, T, 1), jnp.float32)
+            loss, gbl, gem = _rnnt_forward(lpb.astype(jnp.float32), lpe.astype(jnp.float32), tl, ul, False)
+            return jnp.sum(loss) + jnp.sum(gbl) + jnp.sum(gem)
+
+    elif which == "fused_fwd":
+        def one(enc_p, pred_p, lab):
+            return jnp.sum(rnnt_loss_fused_joint(enc_p, pred_p, wv, bv, tl, lab, ul))
+
+    else:
+        raise ValueError(which)
+
+    @jax.jit
+    def multi(encs, preds, labs):
+        def body(c, x):
+            e, p, lab = x
+            return c, one(e, p, lab)
+
+        return jax.lax.scan(body, 0.0, (encs, preds, labs))[1]
+
+    return _timeit(lambda xs: multi(*xs), _loss_batches)
+
+
 RUNNERS = {
     "train_auto": lambda: run_train(False),
     "train_fused": lambda: run_train(True),
@@ -411,6 +456,9 @@ RUNNERS = {
     "ff32": run_ff32,
     "loss_unfused": lambda: run_loss(False),
     "loss_fused": lambda: run_loss(True),
+    "loss_joint_fwd": lambda: run_loss_split("joint_fwd"),
+    "loss_dp": lambda: run_loss_split("dp"),
+    "loss_fused_fwd": lambda: run_loss_split("fused_fwd"),
 }
 
 if __name__ == "__main__":

@@ -172,15 +172,22 @@ def _rnnt_kernel(
     scatter_m = (scat_r == scat_c).astype(jnp.float32)  # [group, lanes]
     ll = jnp.dot(seg_ll, scatter_m, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)  # [1, lanes]
 
-    # ------------------------------ backward ------------------------------ #
-    # static trip count (compiler-friendly); rows above d_final are written
-    # as NEG (except the seed row d_final+1 = exit), so no clear pass needed
+    # -------------------- backward + gradients (fused) -------------------- #
+    # One sweep computes beta[d] AND the occupancy gradients for row d: at
+    # step d both inputs of grad_body — alpha[d] and beta[d+1] — are already
+    # in VMEM (beta[d+1] is this iteration's b_next), so a separate third
+    # D-row loop would only repeat the loads. Fusing cuts the kernel's
+    # sequential row ops from 3·D to 2·D (the DP is latency-bound: each row
+    # is a handful of VPU ops on [1, lanes]).
+    # Static trip count (compiler-friendly); rows above d_final are written
+    # as NEG (except the seed row d_final+1 = exit), so no clear pass needed.
     def bwd_body(i, _):
         d = d_total - 2 - i
         is_seed = d == d_final + 1
         above = d > d_final + 1
         b_next = beta_ref[pl.ds(d + 1, 1), :]
-        blank_term = bl_ref[0, pl.ds(d, 1), :] + b_next
+        bl_row = bl_ref[0, pl.ds(d, 1), :]
+        blank_term = bl_row + b_next
         b_next_shift = pltpu.roll(b_next, lanes - 1, 1)
         b_next_shift = jnp.where(u_row == u1p - 1, NEG, b_next_shift)
         # EM2[d, u] = EM[d+1, u+1]
@@ -192,6 +199,15 @@ def _rnnt_kernel(
         seed_row = jnp.where(u_row == u_len, 0.0, NEG)
         row = jnp.where(is_seed, seed_row, row)
         beta_ref[pl.ds(d, 1), :] = row
+
+        # gradients for row d (beta_ref[d_final+1] already holds the exit
+        # seed when d == d_final, i.e. b_next)
+        a_row = alpha_ref[pl.ds(d, 1), :]
+        gbl = -jnp.exp(a_row + bl_row + b_next - ll)
+        gem2 = -jnp.exp(a_row + em2_row + b_next_shift - ll)
+        valid = cell_valid(d)
+        gbl_ref[0, pl.ds(d, 1), :] = jnp.where(valid, gbl, 0.0)
+        gem2_ref[0, pl.ds(d, 1), :] = jnp.where(valid, gem2, 0.0)
         return 0
 
     # top row: the exit seed for examples whose d_final+1 == D-1
@@ -199,24 +215,6 @@ def _rnnt_kernel(
     top_row = jnp.where(top_is_seed & (u_row == u_len), 0.0, NEG)
     beta_ref[pl.ds(d_total - 1, 1), :] = top_row
     jax.lax.fori_loop(0, d_total - 1, bwd_body, 0)
-
-    # ------------------------------ gradients ----------------------------- #
-    def grad_body(d, _):
-        a_row = alpha_ref[pl.ds(d, 1), :]
-        b_next = beta_ref[pl.ds(d + 1, 1), :]
-        # seed row for d == d_final: beta_ref[d_final+1] already holds the exit
-        gbl = -jnp.exp(a_row + bl_ref[0, pl.ds(d, 1), :] + b_next - ll)
-        b_next_shift = pltpu.roll(b_next, lanes - 1, 1)
-        b_next_shift = jnp.where(u_row == u1p - 1, NEG, b_next_shift)
-        em2_row = pltpu.roll(em_ref[0, pl.ds(d + 1, 1), :], lanes - 1, 1)
-        em2_row = jnp.where(u_row == u1p - 1, NEG, em2_row)
-        gem2 = -jnp.exp(a_row + em2_row + b_next_shift - ll)
-        valid = cell_valid(d)
-        gbl_ref[0, pl.ds(d, 1), :] = jnp.where(valid, gbl, 0.0)
-        gem2_ref[0, pl.ds(d, 1), :] = jnp.where(valid, gem2, 0.0)
-        return 0
-
-    jax.lax.fori_loop(0, d_total - 1, grad_body, 0)
     # last row (never a valid diagonal: d_final <= D-2) carries the losses
     loss_row = jnp.where(u_row == 0, -ll, 0.0)
     gbl_ref[0, pl.ds(d_total - 1, 1), :] = loss_row
