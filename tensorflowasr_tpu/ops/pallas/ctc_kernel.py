@@ -40,119 +40,130 @@ def _lse3(a, b, c):
 def _ctc_kernel(
     logit_len_ref,  # scalar prefetch [Bp]
     label_len_ref,  # scalar prefetch [Bp]
-    lp_ref,  # [1, T, G*Sp] per-state log-probs, G examples packed into lanes
-    skip_ref,  # [1, 1, G*Sp] skip addend (0 allowed / NEG forbidden)
-    occ_ref,  # out [1, T+1, G*Sp]: -occupancy grads; row T stashes each
+    lp_ref,  # [1, T, S, G·Sp] per-state log-probs (S sublane × G lane packed)
+    skip_ref,  # [1, 1, S, G·Sp] skip addend (0 allowed / NEG forbidden)
+    occ_ref,  # out [1, T+1, S, G·Sp]: -occupancy grads; row T stashes each
     #           example's loss at its segment's column 0
-    alpha_ref,  # scratch [T, G*Sp]
-    beta_ref,  # scratch [T, G*Sp]
+    alpha_ref,  # scratch [T, S, G·Sp]
+    beta_ref,  # scratch [T, S, G·Sp]
     *,
+    subl: int,
     group: int,
     sp: int,
 ):
-    g0 = pl.program_id(0) * group
-    t_total, lanes = alpha_ref.shape
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
+    e0 = pl.program_id(0) * (subl * group)
+    t_total, _, lanes = alpha_ref.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, subl, lanes), 2)
     s_row = jax.lax.rem(lane, sp)  # per-segment extended-state coordinate
 
-    t_len = jnp.concatenate([jnp.full((1, sp), logit_len_ref[g0 + i], jnp.int32) for i in range(group)], axis=1)
-    u_len = jnp.concatenate([jnp.full((1, sp), label_len_ref[g0 + i], jnp.int32) for i in range(group)], axis=1)
+    # per-example lengths broadcast over each (sublane s, segment g) slot
+    def bcast_len(ref):
+        rows = [
+            jnp.concatenate([jnp.full((1, 1, sp), ref[e0 + s * group + g], jnp.int32) for g in range(group)], axis=2)
+            for s in range(subl)
+        ]
+        return jnp.concatenate(rows, axis=1)  # [1, S, lanes]
+
+    t_len = bcast_len(logit_len_ref)
+    u_len = bcast_len(label_len_ref)
     s_last = 2 * u_len  # index of the final blank state, per segment
 
     state_ok = s_row <= s_last
-    skip_row = skip_ref[0, 0:1, :]
+    skip_row = skip_ref[0, 0:1]
 
-    # all rolls are global over the packed lanes; lanes receiving values from
-    # a neighboring segment are exactly the s_row < k / s_row >= sp-k
-    # boundary lanes, which the masks below already force to NEG
+    # all rolls are global over the packed lanes (per sublane row); lanes
+    # receiving values from a neighboring segment are exactly the s_row < k /
+    # s_row >= sp-k boundary lanes, which the masks below already force to NEG
     def shift1(x):
-        y = pltpu.roll(x, 1, 1)
+        y = pltpu.roll(x, 1, 2)
         return jnp.where(s_row == 0, NEG, y)
 
     def shift2(x):
-        y = pltpu.roll(x, 2, 1)
+        y = pltpu.roll(x, 2, 2)
         return jnp.where(s_row < 2, NEG, y)
 
     fin_mask = (s_row == s_last) | ((s_row == s_last - 1) & (s_last > 0))
 
     # ------------------------------ forward ------------------------------- #
-    init = jnp.where(s_row < 2, lp_ref[0, 0:1, :], NEG)
+    init = jnp.where(s_row < 2, lp_ref[0, 0:1], NEG)
     init = jnp.where(state_ok, init, NEG)
-    alpha_ref[0:1, :] = init
+    alpha_ref[0:1] = init
     # final-row alpha values are captured in-loop (each segment has its own
     # t_len, so no single post-loop row read works)
     fin0 = jnp.where((t_len == 1) & fin_mask, init, NEG)
 
     def fwd_body(t, fin_acc):
-        a_prev = alpha_ref[pl.ds(t - 1, 1), :]
-        row = _lse3(a_prev, shift1(a_prev), shift2(a_prev) + skip_row) + lp_ref[0, pl.ds(t, 1), :]
+        a_prev = alpha_ref[pl.ds(t - 1, 1)]
+        row = _lse3(a_prev, shift1(a_prev), shift2(a_prev) + skip_row) + lp_ref[0, pl.ds(t, 1)]
         row = jnp.where(state_ok, row, NEG)
         # past the true length, carry alpha forward unchanged
         row = jnp.where(t < t_len, row, a_prev)
-        alpha_ref[pl.ds(t, 1), :] = row
+        alpha_ref[pl.ds(t, 1)] = row
         return jnp.where((t == t_len - 1) & fin_mask, row, fin_acc)
 
     fin = jax.lax.fori_loop(1, t_total, fwd_body, fin0)
 
-    # per-segment ll = LSE of the (<= 2, adjacent) participating lanes:
+    # per-slot ll = LSE of the (<= 2, adjacent) participating lanes:
     # combine lane s_last with lane s_last-1 rolled onto it, then broadcast
-    # each segment's single s_last lane to the whole segment via 0/1 matmuls
+    # each slot's single s_last lane to its segment via 0/1 matmuls
     fin_last = jnp.where(s_row == s_last, fin, NEG)
-    fin_prev = pltpu.roll(jnp.where((s_row == s_last - 1) & (s_last > 0), fin, NEG), 1, 1)
+    fin_prev = pltpu.roll(jnp.where((s_row == s_last - 1) & (s_last > 0), fin, NEG), 1, 2)
     fin_prev = jnp.where(s_row == 0, NEG, fin_prev)
     ll_lane = _lse3(fin_last, fin_prev, jnp.full_like(fin_last, NEG))
     ll_sel = s_row == s_last
     seg_of = jax.lax.broadcasted_iota(jnp.int32, (lanes, group), 0) // sp
     col = jax.lax.broadcasted_iota(jnp.int32, (lanes, group), 1)
     gather_m = (seg_of == col).astype(jnp.float32)
-    vals = jnp.where(ll_sel, ll_lane, 0.0)
-    seg_ll = jnp.dot(vals, gather_m, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+    vals = jnp.where(ll_sel, ll_lane, 0.0)[0]  # [S, lanes]
+    # HIGHEST precision: a single bf16 MXU pass would round the f32 ll values
+    seg_ll = jnp.dot(vals, gather_m, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)  # [S, group]
     scat_r = jax.lax.broadcasted_iota(jnp.int32, (group, lanes), 0)
     scat_c = jax.lax.broadcasted_iota(jnp.int32, (group, lanes), 1) // sp
     scatter_m = (scat_r == scat_c).astype(jnp.float32)
-    ll = jnp.dot(seg_ll, scatter_m, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+    ll = jnp.dot(seg_ll, scatter_m, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)[None]  # [1, S, lanes]
 
     # ------------------------------ backward ------------------------------ #
     def bwd_body(i, _):
         t = t_total - 1 - i
         is_last = t == t_len - 1
         beyond = t > t_len - 1
-        b_next = beta_ref[pl.ds(jnp.minimum(t + 1, t_total - 1), 1), :]
-        lp_next = lp_ref[0, pl.ds(jnp.minimum(t + 1, t_total - 1), 1), :]
+        b_next = beta_ref[pl.ds(jnp.minimum(t + 1, t_total - 1), 1)]
+        lp_next = lp_ref[0, pl.ds(jnp.minimum(t + 1, t_total - 1), 1)]
         term0 = b_next + lp_next
         # shift LEFT over the packed lanes: state s reads s+1, s+2
-        t1 = pltpu.roll(term0, lanes - 1, 1)
+        t1 = pltpu.roll(term0, lanes - 1, 2)
         t1 = jnp.where(s_row == sp - 1, NEG, t1)
-        t2 = pltpu.roll(term0, lanes - 2, 1)
+        t2 = pltpu.roll(term0, lanes - 2, 2)
         t2 = jnp.where(s_row >= sp - 2, NEG, t2)
-        skip2 = pltpu.roll(skip_row, lanes - 2, 1)  # skip_ok at the TARGET state s+2
+        skip2 = pltpu.roll(skip_row, lanes - 2, 2)  # skip_ok at the TARGET state s+2
         row = _lse3(term0, t1, t2 + skip2)
         last_row = jnp.where(fin_mask, 0.0, NEG)
         row = jnp.where(is_last, last_row, row)
         row = jnp.where(beyond, NEG, row)
         row = jnp.where(state_ok, row, NEG)
-        beta_ref[pl.ds(t, 1), :] = row
+        beta_ref[pl.ds(t, 1)] = row
         return 0
 
     jax.lax.fori_loop(0, t_total, bwd_body, 0)
 
     # ------------------------------ gradients ----------------------------- #
     def grad_body(t, _):
-        occ = -jnp.exp(alpha_ref[pl.ds(t, 1), :] + beta_ref[pl.ds(t, 1), :] - ll)
+        occ = -jnp.exp(alpha_ref[pl.ds(t, 1)] + beta_ref[pl.ds(t, 1)] - ll)
         occ = jnp.where(state_ok & (t < t_len), occ, 0.0)
-        occ_ref[0, pl.ds(t, 1), :] = occ
+        occ_ref[0, pl.ds(t, 1)] = occ
         return 0
 
     jax.lax.fori_loop(0, t_total, grad_body, 0)
-    occ_ref[0, pl.ds(t_total, 1), :] = jnp.where(s_row == 0, -ll, 0.0)
+    occ_ref[0, pl.ds(t_total, 1)] = jnp.where(s_row == 0, -ll, 0.0)
 
 
 def _ctc_pallas_call(lp_ext, skip_add, logit_length, label_length, interpret: bool):
-    from tensorflowasr_tpu.ops.pallas.rnnt_kernel import _group_size, _pack_lanes, _unpack_lanes
+    from tensorflowasr_tpu.ops.pallas.rnnt_kernel import _pack_grid, _pack_shape, _unpack_grid
 
     batch, t_total, sp = lp_ext.shape
-    group = _group_size(t_total + 1, sp)
-    bp = round_up(batch, group)
+    subl, group = _pack_shape(batch, t_total + 1, sp)
+    e = subl * group
+    bp = round_up(batch, e)
     if bp != batch:
         # padded examples: trivial 1-frame/0-label lattices, sliced off after
         lp_ext = jnp.pad(lp_ext, ((0, bp - batch), (0, 0), (0, 0)), constant_values=NEG)
@@ -160,32 +171,32 @@ def _ctc_pallas_call(lp_ext, skip_add, logit_length, label_length, interpret: bo
         logit_length = jnp.pad(jnp.asarray(logit_length, jnp.int32), (0, bp - batch), constant_values=1)
         label_length = jnp.pad(jnp.asarray(label_length, jnp.int32), (0, bp - batch))
 
-    lp_p = _pack_lanes(lp_ext, group)
-    skip_p = _pack_lanes(skip_add, group)
+    lp_p = _pack_grid(lp_ext, subl, group)
+    skip_p = _pack_grid(skip_add, subl, group)
     lanes = group * sp
-    gcount = bp // group
+    nstep = bp // e
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(gcount,),
+        grid=(nstep,),
         in_specs=[
-            pl.BlockSpec((1, t_total, lanes), lambda b, *_: (b, 0, 0)),
-            pl.BlockSpec((1, 1, lanes), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec((1, t_total, subl, lanes), lambda b, *_: (b, 0, 0, 0)),
+            pl.BlockSpec((1, 1, subl, lanes), lambda b, *_: (b, 0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, t_total + 1, lanes), lambda b, *_: (b, 0, 0)),
+        out_specs=pl.BlockSpec((1, t_total + 1, subl, lanes), lambda b, *_: (b, 0, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((t_total, lanes), jnp.float32),
-            pltpu.VMEM((t_total, lanes), jnp.float32),
+            pltpu.VMEM((t_total, subl, lanes), jnp.float32),
+            pltpu.VMEM((t_total, subl, lanes), jnp.float32),
         ],
     )
     occ_p = pl.pallas_call(
-        functools.partial(_ctc_kernel, group=group, sp=sp),
+        functools.partial(_ctc_kernel, subl=subl, group=group, sp=sp),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((gcount, t_total + 1, lanes), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nstep, t_total + 1, subl, lanes), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(jnp.asarray(logit_length, jnp.int32), jnp.asarray(label_length, jnp.int32), lp_p, skip_p)
-    return _unpack_lanes(occ_p, group, sp)[:batch]
+    return _unpack_grid(occ_p, subl, group, sp)[:batch]
 
 
 def _prep(logits, labels, blank):
@@ -195,11 +206,10 @@ def _prep(logits, labels, blank):
     b, t, vocab = logits.shape
     u = labels.shape[1]
     s = 2 * u + 1
-    # _padded_lanes bumps the 384-lane bucket to 512: when _group_size
-    # returns 1 (very long T) the packed minor dim equals sp, and exactly
-    # 384 lanes with grid>1 is the bisected axon hang region (see
-    # rnnt_kernel._padded_lanes). group*sp for sp in {128,256,512,...} and
-    # group in {1,2,4,8} never lands on 384 otherwise.
+    # _padded_lanes bumps the 384-lane bucket to 512: when _pack_shape
+    # returns group 1 (very long T) the packed minor dim equals sp, and
+    # exactly 384 lanes with grid>1 is the bisected axon hang region (see
+    # rnnt_kernel._padded_lanes); _pack_shape itself dodges group*sp == 384.
     sp = _padded_lanes(s)
 
     lse = jax.nn.logsumexp(logits, axis=-1)  # [B,T]

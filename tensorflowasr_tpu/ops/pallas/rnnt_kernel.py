@@ -90,45 +90,65 @@ def _unskew(g: jax.Array, t: int, u1: int) -> jax.Array:
     return jnp.swapaxes(z, 1, 2)
 
 
-def _group_size(d_total: int, u1p: int) -> int:
-    """Examples packed side-by-side into the lane dimension of one grid step.
+def _pack_shape(batch: int, d_total: int, u1p: int) -> tuple:
+    """(S sublane-packed, G lane-packed) examples per kernel grid step.
 
-    A [1, U1p] diagonal row uses at most 2 of the VPU's 8 sublane-rows of
-    lanes; packing G examples widens every row op to [1, G·U1p] for ~G×
-    utilization and cuts the sequential grid by G×. Bounded by VMEM: ~10
-    buffer-copies of [D, G·U1p] f32 must fit comfortably.
+    The round-1..4 kernel packed examples into LANES only: every row op was
+    [1, G·U1p] — at most 1 of the VPU's 8 sublanes live per vector register,
+    so each elementwise op burned G·U1p/128 vregs at 1/8 utilization. v2
+    (round 5) additionally stacks S example-groups into the SUBLANE dim
+    ([S, G·U1p] rows): the same sequential sweep now serves S·G examples per
+    grid step in dense (8, 128) vregs, cutting both the grid count (the DP
+    cost scaled linearly with batch/G — 16 sequential grid steps at bs128)
+    and the vreg count per row op. Bounded by VMEM: ~10 f32 [D, S·G·U1p]
+    buffer-copies (4 grid-blocked operands/outputs double-buffered + 2
+    scratch) must fit under the 100 MB limit.
     """
-    budget = 48 * 1024 * 1024
-    per_example = d_total * u1p * 4 * 10
-    g = 8
-    while g > 1 and g * per_example > budget:
-        g //= 2
-    return g
+    slab = d_total * u1p * 4
+    e_max = max(1, min(64, (90 * 1024 * 1024) // (10 * slab)))
+    e = min(e_max, max(1, batch))
+    s = min(8, e)
+    g = -(-e // s)  # ceil
+    if s * g > e_max:
+        g = max(1, e_max // s)
+    if (g * u1p) == 384:  # the bisected 384-lane axon hang bucket — never emit it
+        g = 2 if g == 3 else max(1, g - 1)
+    return s, g
 
 
 def _rnnt_kernel(
     logit_len_ref,  # scalar prefetch [Bp]
     label_len_ref,  # scalar prefetch [Bp]
-    bl_ref,  # [1, D, G*U1p] skewed lp_blank, G examples packed into lanes
-    em_ref,  # [1, D, G*U1p] skewed lp_emit (shifted: EM[d, u] = lp_emit[d-u, u-1])
-    gbl_ref,  # out [1, D, G*U1p]; row D-1 is never a valid lattice diagonal
+    bl_ref,  # [1, D, S, G·U1p] skewed lp_blank (S sublane × G lane packed)
+    em_ref,  # [1, D, S, G·U1p] skewed lp_emit (shifted: EM[d, u] = lp_emit[d-u, u-1])
+    gbl_ref,  # out [1, D, S, G·U1p]; row D-1 is never a valid lattice diagonal
     #           and carries each example's loss at its segment's column 0
-    gem2_ref,  # out [1, D, G*U1p] grads in EM2 coords (lp_emit[d-u, u])
-    alpha_ref,  # scratch [D, G*U1p]
-    beta_ref,  # scratch [D, G*U1p]
+    gem2_ref,  # out [1, D, S, G·U1p] grads in EM2 coords (lp_emit[d-u, u])
+    alpha_ref,  # scratch [D, S, G·U1p]
+    beta_ref,  # scratch [D, S, G·U1p]
     *,
+    subl: int,
     group: int,
     u1p: int,
 ):
-    g0 = pl.program_id(0) * group
-    d_total, lanes = alpha_ref.shape
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
+    e0 = pl.program_id(0) * (subl * group)
+    d_total, _, lanes = alpha_ref.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, subl, lanes), 2)
     u_row = jax.lax.rem(lane, u1p)  # per-segment label coordinate
 
-    # per-example lengths broadcast over each segment's lanes
-    t_len = jnp.concatenate([jnp.full((1, u1p), logit_len_ref[g0 + s], jnp.int32) for s in range(group)], axis=1)
-    u_len = jnp.concatenate([jnp.full((1, u1p), label_len_ref[g0 + s], jnp.int32) for s in range(group)], axis=1)
-    d_final = t_len - 1 + u_len  # [1, lanes]
+    # per-example lengths broadcast over each (sublane s, segment g) slot
+    def bcast_len(ref):
+        rows = [
+            jnp.concatenate(
+                [jnp.full((1, 1, u1p), ref[e0 + s * group + g], jnp.int32) for g in range(group)], axis=2
+            )
+            for s in range(subl)
+        ]
+        return jnp.concatenate(rows, axis=1)  # [1, S, lanes]
+
+    t_len = bcast_len(logit_len_ref)
+    u_len = bcast_len(label_len_ref)
+    d_final = t_len - 1 + u_len  # [1, S, lanes]
 
     def cell_valid(d):
         t_of = d - u_row
@@ -141,36 +161,36 @@ def _rnnt_kernel(
 
     # ------------------------------ forward ------------------------------- #
     row0 = jnp.where((u_row == 0) & cell_valid(0), 0.0, NEG)
-    alpha_ref[0:1, :] = row0
-    ll_sel = (u_row == u_len)  # exactly one lane per segment
-    ll_acc0 = jnp.where((d_final == 0) & ll_sel, row0 + bl_ref[0, 0:1, :], NEG)
+    alpha_ref[0:1] = row0
+    ll_sel = (u_row == u_len)  # exactly one lane per (s, segment) slot
+    ll_acc0 = jnp.where((d_final == 0) & ll_sel, row0 + bl_ref[0, 0:1], NEG)
 
     def fwd_body(d, ll_acc):
-        a_prev = alpha_ref[pl.ds(d - 1, 1), :]
-        blank_term = a_prev + bl_ref[0, pl.ds(d - 1, 1), :]
-        a_shift = pltpu.roll(a_prev, 1, 1)
+        a_prev = alpha_ref[pl.ds(d - 1, 1)]
+        blank_term = a_prev + bl_ref[0, pl.ds(d - 1, 1)]
+        a_shift = pltpu.roll(a_prev, 1, 2)
         a_shift = jnp.where(u_row == 0, NEG, a_shift)
-        emit_term = a_shift + em_ref[0, pl.ds(d, 1), :]
+        emit_term = a_shift + em_ref[0, pl.ds(d, 1)]
         row = jnp.where(cell_valid(d), _logaddexp(blank_term, emit_term), NEG)
-        alpha_ref[pl.ds(d, 1), :] = row
+        alpha_ref[pl.ds(d, 1)] = row
         # ll = alpha[d_final, U] + BL[d_final, U], captured as d passes by
-        return jnp.where((d == d_final) & ll_sel, row + bl_ref[0, pl.ds(d, 1), :], ll_acc)
+        return jnp.where((d == d_final) & ll_sel, row + bl_ref[0, pl.ds(d, 1)], ll_acc)
 
     ll_acc = jax.lax.fori_loop(1, d_total, fwd_body, ll_acc0)
 
-    # broadcast each segment's single selected ll lane to its whole segment
-    # via two tiny 0/1 matmuls (segment indicator matrices)
+    # broadcast each slot's single selected ll lane to its whole segment via
+    # two tiny 0/1 matmuls (segment indicator matrices), per sublane row
     seg_of = jax.lax.broadcasted_iota(jnp.int32, (lanes, group), 0) // u1p
     col = jax.lax.broadcasted_iota(jnp.int32, (lanes, group), 1)
     gather_m = (seg_of == col).astype(jnp.float32)  # [lanes, group]
-    vals = jnp.where(ll_sel, ll_acc, 0.0)
+    vals = jnp.where(ll_sel, ll_acc, 0.0)[0]  # [S, lanes]
     # HIGHEST precision: the default single bf16 MXU pass rounds the f32 ll
     # values to ~8 mantissa bits (visibly wrong losses at |ll| ~ hundreds)
-    seg_ll = jnp.dot(vals, gather_m, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)  # [1, group]
+    seg_ll = jnp.dot(vals, gather_m, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)  # [S, group]
     scat_r = jax.lax.broadcasted_iota(jnp.int32, (group, lanes), 0)
     scat_c = jax.lax.broadcasted_iota(jnp.int32, (group, lanes), 1) // u1p
     scatter_m = (scat_r == scat_c).astype(jnp.float32)  # [group, lanes]
-    ll = jnp.dot(seg_ll, scatter_m, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)  # [1, lanes]
+    ll = jnp.dot(seg_ll, scatter_m, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)[None]  # [1, S, lanes]
 
     # -------------------- backward + gradients (fused) -------------------- #
     # One sweep computes beta[d] AND the occupancy gradients for row d: at
@@ -185,58 +205,65 @@ def _rnnt_kernel(
         d = d_total - 2 - i
         is_seed = d == d_final + 1
         above = d > d_final + 1
-        b_next = beta_ref[pl.ds(d + 1, 1), :]
-        bl_row = bl_ref[0, pl.ds(d, 1), :]
+        b_next = beta_ref[pl.ds(d + 1, 1)]
+        bl_row = bl_ref[0, pl.ds(d, 1)]
         blank_term = bl_row + b_next
-        b_next_shift = pltpu.roll(b_next, lanes - 1, 1)
+        b_next_shift = pltpu.roll(b_next, lanes - 1, 2)
         b_next_shift = jnp.where(u_row == u1p - 1, NEG, b_next_shift)
         # EM2[d, u] = EM[d+1, u+1]
-        em2_row = pltpu.roll(em_ref[0, pl.ds(d + 1, 1), :], lanes - 1, 1)
+        em2_row = pltpu.roll(em_ref[0, pl.ds(d + 1, 1)], lanes - 1, 2)
         em2_row = jnp.where(u_row == u1p - 1, NEG, em2_row)
         emit_term = em2_row + b_next_shift
         row = _logaddexp(blank_term, emit_term)
         row = jnp.where(cell_valid(d) & jnp.logical_not(is_seed | above), row, NEG)
         seed_row = jnp.where(u_row == u_len, 0.0, NEG)
         row = jnp.where(is_seed, seed_row, row)
-        beta_ref[pl.ds(d, 1), :] = row
+        beta_ref[pl.ds(d, 1)] = row
 
         # gradients for row d (beta_ref[d_final+1] already holds the exit
         # seed when d == d_final, i.e. b_next)
-        a_row = alpha_ref[pl.ds(d, 1), :]
+        a_row = alpha_ref[pl.ds(d, 1)]
         gbl = -jnp.exp(a_row + bl_row + b_next - ll)
         gem2 = -jnp.exp(a_row + em2_row + b_next_shift - ll)
         valid = cell_valid(d)
-        gbl_ref[0, pl.ds(d, 1), :] = jnp.where(valid, gbl, 0.0)
-        gem2_ref[0, pl.ds(d, 1), :] = jnp.where(valid, gem2, 0.0)
+        gbl_ref[0, pl.ds(d, 1)] = jnp.where(valid, gbl, 0.0)
+        gem2_ref[0, pl.ds(d, 1)] = jnp.where(valid, gem2, 0.0)
         return 0
 
     # top row: the exit seed for examples whose d_final+1 == D-1
     top_is_seed = d_final + 1 == d_total - 1
     top_row = jnp.where(top_is_seed & (u_row == u_len), 0.0, NEG)
-    beta_ref[pl.ds(d_total - 1, 1), :] = top_row
+    beta_ref[pl.ds(d_total - 1, 1)] = top_row
     jax.lax.fori_loop(0, d_total - 1, bwd_body, 0)
     # last row (never a valid diagonal: d_final <= D-2) carries the losses
     loss_row = jnp.where(u_row == 0, -ll, 0.0)
-    gbl_ref[0, pl.ds(d_total - 1, 1), :] = loss_row
-    gem2_ref[0, pl.ds(d_total - 1, 1), :] = jnp.zeros((1, lanes), jnp.float32)
+    gbl_ref[0, pl.ds(d_total - 1, 1)] = loss_row
+    gem2_ref[0, pl.ds(d_total - 1, 1)] = jnp.zeros((1, subl, lanes), jnp.float32)
 
 
-def _pack_lanes(x: jax.Array, group: int) -> jax.Array:
-    """[Bp, D, U1p] → [Bp/G, D, G·U1p]: G examples side-by-side in lanes."""
+def _pack_grid(x: jax.Array, subl: int, group: int) -> jax.Array:
+    """[Bp, D, U1p] → [Bp/(S·G), D, S, G·U1p]; example e ↦ grid step
+    e//(S·G), sublane (e%(S·G))//G, lane segment e%G."""
     bp, d_total, u1p = x.shape
-    return jnp.swapaxes(x.reshape(bp // group, group, d_total, u1p), 1, 2).reshape(bp // group, d_total, group * u1p)
+    e = subl * group
+    x = x.reshape(bp // e, subl, group, d_total, u1p)
+    x = jnp.transpose(x, (0, 3, 1, 2, 4))
+    return x.reshape(bp // e, d_total, subl, group * u1p)
 
 
-def _unpack_lanes(x: jax.Array, group: int, u1p: int) -> jax.Array:
-    """[Bp/G, D, G·U1p] → [Bp, D, U1p]."""
-    gcount, d_total, _ = x.shape
-    return jnp.swapaxes(x.reshape(gcount, d_total, group, u1p), 1, 2).reshape(gcount * group, d_total, u1p)
+def _unpack_grid(x: jax.Array, subl: int, group: int, u1p: int) -> jax.Array:
+    """[Bp/(S·G), D, S, G·U1p] → [Bp, D, U1p]."""
+    nstep, d_total, _, _ = x.shape
+    x = x.reshape(nstep, d_total, subl, group, u1p)
+    x = jnp.transpose(x, (0, 2, 3, 1, 4))
+    return x.reshape(nstep * subl * group, d_total, u1p)
 
 
 def _rnnt_pallas_call(bl_skew, em_skew, logit_length, label_length, interpret: bool):
     batch, d_total, u1p = bl_skew.shape
-    group = _group_size(d_total, u1p)
-    bp = round_up(batch, group)
+    subl, group = _pack_shape(batch, d_total, u1p)
+    e = subl * group
+    bp = round_up(batch, e)
     if bp != batch:
         # padded examples: trivial 1-frame/0-label lattices, sliced off after
         pad = ((0, bp - batch), (0, 0), (0, 0))
@@ -245,39 +272,34 @@ def _rnnt_pallas_call(bl_skew, em_skew, logit_length, label_length, interpret: b
         logit_length = jnp.pad(jnp.asarray(logit_length, jnp.int32), (0, bp - batch), constant_values=1)
         label_length = jnp.pad(jnp.asarray(label_length, jnp.int32), (0, bp - batch))
 
-    bl_p = _pack_lanes(bl_skew, group)
-    em_p = _pack_lanes(em_skew, group)
+    bl_p = _pack_grid(bl_skew, subl, group)
+    em_p = _pack_grid(em_skew, subl, group)
     lanes = group * u1p
-    gcount = bp // group
+    nstep = bp // e
 
+    spec = pl.BlockSpec((1, d_total, subl, lanes), lambda b, *_: (b, 0, 0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(gcount,),
-        in_specs=[
-            pl.BlockSpec((1, d_total, lanes), lambda b, *_: (b, 0, 0)),
-            pl.BlockSpec((1, d_total, lanes), lambda b, *_: (b, 0, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, d_total, lanes), lambda b, *_: (b, 0, 0)),
-            pl.BlockSpec((1, d_total, lanes), lambda b, *_: (b, 0, 0)),
-        ],
+        grid=(nstep,),
+        in_specs=[spec, spec],
+        out_specs=[spec, spec],
         scratch_shapes=[
-            pltpu.VMEM((d_total, lanes), jnp.float32),
-            pltpu.VMEM((d_total, lanes), jnp.float32),
+            pltpu.VMEM((d_total, subl, lanes), jnp.float32),
+            pltpu.VMEM((d_total, subl, lanes), jnp.float32),
         ],
     )
     gbl_p, gem2_p = pl.pallas_call(
-        functools.partial(_rnnt_kernel, group=group, u1p=u1p),
+        functools.partial(_rnnt_kernel, subl=subl, group=group, u1p=u1p),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((gcount, d_total, lanes), jnp.float32),
-            jax.ShapeDtypeStruct((gcount, d_total, lanes), jnp.float32),
+            jax.ShapeDtypeStruct((nstep, d_total, subl, lanes), jnp.float32),
+            jax.ShapeDtypeStruct((nstep, d_total, subl, lanes), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(jnp.asarray(logit_length, jnp.int32), jnp.asarray(label_length, jnp.int32), bl_p, em_p)
-    gbl = _unpack_lanes(gbl_p, group, u1p)[:batch]
-    gem2 = _unpack_lanes(gem2_p, group, u1p)[:batch]
+    gbl = _unpack_grid(gbl_p, subl, group, u1p)[:batch]
+    gem2 = _unpack_grid(gem2_p, subl, group, u1p)[:batch]
     return gbl, gem2
 
 
