@@ -557,6 +557,40 @@ def test_training_trajectory_parity(ref_setup, tmp_path):
     flat_ref_bs = flax.traverse_util.flatten_dict(ref_final.get("batch_stats", {}), sep="/")
     flat_our_bs = flax.traverse_util.flatten_dict(jax.device_get(state.batch_stats), sep="/")
     assert set(flat_ref_bs) == set(flat_our_bs) and flat_ref_bs, "no BN running stats compared"
+
+    # --- bf16 mixed-policy leg (VERDICT r4 #7): the PRODUCTION policy ---- #
+    # (params f32, compute bf16) re-runs the same K steps from the same
+    # converted weights; the loss trajectory must stay inside a tolerance
+    # band of the f32 oracle — not bit parity (bf16 eps ~= 7.8e-3), but
+    # proof the trained path's numerics track the f32 semantics over time.
+    model16 = Conformer.from_config(our_cfg, dtype=jnp.bfloat16)
+    trainer16 = Trainer(model16, build_optimizer({"class_name": "SGD", "config": {"learning_rate": lr}}))
+    state16 = trainer16.init_state(batch0)
+    state16 = state16.replace(params=variables["params"], batch_stats=variables.get("batch_stats", {}))
+    bf16_losses = []
+    for inputs, preds in seq:
+        state16, metrics = trainer16.train_step(state16, make_batch(inputs, preds))
+        bf16_losses.append(float(metrics["loss"]))
+    np.testing.assert_allclose(
+        bf16_losses, ref_losses, rtol=2e-2, atol=2e-2,
+        err_msg="bf16-policy loss trajectory left the f32 oracle band",
+    )
+    # master params stay f32; per leaf, the bf16−f32 drift in the FINAL
+    # params must stay a fraction of the total update f32 training applied
+    # (‖p16−p_ref‖ ≤ 0.5·‖p_ref−p0‖ + eps). Element-wise bands are the
+    # wrong instrument: early conv kernels legitimately see per-element
+    # bf16 gradient-rounding drift ~ the element's own update; the norm
+    # ratio is what distinguishes tracking-with-noise from divergence.
+    flat16 = flax.traverse_util.flatten_dict(jax.device_get(state16.params), sep="/")
+    flat0 = flax.traverse_util.flatten_dict(jax.device_get(variables["params"]), sep="/")
+    for k in sorted(flat16):
+        drift = float(np.linalg.norm(flat16[k] - flat_ref[k]))
+        update = float(np.linalg.norm(np.asarray(flat_ref[k]) - np.asarray(flat0[k])))
+        # eps covers leaves whose f32 update is ~0 (e.g. a conv bias ahead
+        # of a norm): there bf16 rounding noise IS the whole drift
+        assert drift <= 0.5 * update + 5e-3, (
+            f"bf16-policy diverged at {k}: drift ‖Δ‖={drift:.4g} vs f32 update ‖Δ‖={update:.4g}"
+        )
     for k in sorted(flat_our_bs):
         np.testing.assert_allclose(
             flat_our_bs[k], flat_ref_bs[k], rtol=2e-3, atol=5e-5, err_msg=f"BN running-stat mismatch at {k}"
