@@ -44,8 +44,7 @@ def _ctc_kernel(
     skip_ref,  # [1, 1, S, G·Sp] skip addend (0 allowed / NEG forbidden)
     occ_ref,  # out [1, T+1, S, G·Sp]: -occupancy grads; row T stashes each
     #           example's loss at its segment's column 0
-    alpha_ref,  # scratch [T, S, G·Sp]
-    beta_ref,  # scratch [T, S, G·Sp]
+    alpha_ref,  # scratch [T, S, G·Sp] (beta rides the loop carry)
     *,
     subl: int,
     group: int,
@@ -85,6 +84,9 @@ def _ctc_kernel(
     fin_mask = (s_row == s_last) | ((s_row == s_last - 1) & (s_last > 0))
 
     # ------------------------------ forward ------------------------------- #
+    # The previous alpha row rides the fori_loop carry (registers) instead
+    # of being re-read from VMEM each iteration — the DP is per-row
+    # latency-bound (see rnnt_kernel._pack_shape).
     init = jnp.where(s_row < 2, lp_ref[0, 0:1], NEG)
     init = jnp.where(state_ok, init, NEG)
     alpha_ref[0:1] = init
@@ -92,16 +94,16 @@ def _ctc_kernel(
     # t_len, so no single post-loop row read works)
     fin0 = jnp.where((t_len == 1) & fin_mask, init, NEG)
 
-    def fwd_body(t, fin_acc):
-        a_prev = alpha_ref[pl.ds(t - 1, 1)]
+    def fwd_body(t, carry):
+        a_prev, fin_acc = carry
         row = _lse3(a_prev, shift1(a_prev), shift2(a_prev) + skip_row) + lp_ref[0, pl.ds(t, 1)]
         row = jnp.where(state_ok, row, NEG)
         # past the true length, carry alpha forward unchanged
         row = jnp.where(t < t_len, row, a_prev)
         alpha_ref[pl.ds(t, 1)] = row
-        return jnp.where((t == t_len - 1) & fin_mask, row, fin_acc)
+        return row, jnp.where((t == t_len - 1) & fin_mask, row, fin_acc)
 
-    fin = jax.lax.fori_loop(1, t_total, fwd_body, fin0)
+    _, fin = jax.lax.fori_loop(1, t_total, fwd_body, (init, fin0))
 
     # per-slot ll = LSE of the (<= 2, adjacent) participating lanes:
     # combine lane s_last with lane s_last-1 rolled onto it, then broadcast
@@ -122,38 +124,40 @@ def _ctc_kernel(
     scatter_m = (scat_r == scat_c).astype(jnp.float32)
     ll = jnp.dot(seg_ll, scatter_m, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)[None]  # [1, S, lanes]
 
-    # ------------------------------ backward ------------------------------ #
-    def bwd_body(i, _):
+    # -------------------- backward + gradients (fused) -------------------- #
+    # beta[t+1] and lp[t+1] ride the carry; the occupancy gradient for row t
+    # uses beta[t] = the row just computed, so a separate third T-row loop
+    # would only repeat the loads. 3·T sequential rows → 2·T, no beta
+    # scratch, and one dynamic lp load per iteration instead of two.
+    skip2 = pltpu.roll(skip_row, lanes - 2, 2)  # skip_ok at the TARGET state s+2
+    last_row = jnp.where(fin_mask, 0.0, NEG)
+
+    def bwd_body(i, carry):
+        b_next, lp_next = carry
         t = t_total - 1 - i
         is_last = t == t_len - 1
         beyond = t > t_len - 1
-        b_next = beta_ref[pl.ds(jnp.minimum(t + 1, t_total - 1), 1)]
-        lp_next = lp_ref[0, pl.ds(jnp.minimum(t + 1, t_total - 1), 1)]
         term0 = b_next + lp_next
         # shift LEFT over the packed lanes: state s reads s+1, s+2
         t1 = pltpu.roll(term0, lanes - 1, 2)
         t1 = jnp.where(s_row == sp - 1, NEG, t1)
         t2 = pltpu.roll(term0, lanes - 2, 2)
         t2 = jnp.where(s_row >= sp - 2, NEG, t2)
-        skip2 = pltpu.roll(skip_row, lanes - 2, 2)  # skip_ok at the TARGET state s+2
         row = _lse3(term0, t1, t2 + skip2)
-        last_row = jnp.where(fin_mask, 0.0, NEG)
         row = jnp.where(is_last, last_row, row)
         row = jnp.where(beyond, NEG, row)
         row = jnp.where(state_ok, row, NEG)
-        beta_ref[pl.ds(t, 1)] = row
-        return 0
 
-    jax.lax.fori_loop(0, t_total, bwd_body, 0)
-
-    # ------------------------------ gradients ----------------------------- #
-    def grad_body(t, _):
-        occ = -jnp.exp(alpha_ref[pl.ds(t, 1)] + beta_ref[pl.ds(t, 1)] - ll)
+        lp_t = lp_ref[0, pl.ds(t, 1)]
+        occ = -jnp.exp(alpha_ref[pl.ds(t, 1)] + row - ll)
         occ = jnp.where(state_ok & (t < t_len), occ, 0.0)
         occ_ref[0, pl.ds(t, 1)] = occ
-        return 0
+        return row, lp_t
 
-    jax.lax.fori_loop(0, t_total, grad_body, 0)
+    # carry init: at t = T-1 the row is fully determined by is_last/beyond
+    # masks, so the seeded beta/lp values are never read through
+    neg_row = jnp.full((1, subl, lanes), NEG, jnp.float32)
+    jax.lax.fori_loop(0, t_total, bwd_body, (neg_row, lp_ref[0, pl.ds(t_total - 1, 1)]))
     occ_ref[0, pl.ds(t_total, 1)] = jnp.where(s_row == 0, -ll, 0.0)
 
 
@@ -185,8 +189,7 @@ def _ctc_pallas_call(lp_ext, skip_add, logit_length, label_length, interpret: bo
         ],
         out_specs=pl.BlockSpec((1, t_total + 1, subl, lanes), lambda b, *_: (b, 0, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((t_total, subl, lanes), jnp.float32),
-            pltpu.VMEM((t_total, subl, lanes), jnp.float32),
+            pltpu.VMEM((t_total, subl, lanes), jnp.float32),  # alpha (beta rides the loop carry)
         ],
     )
     occ_p = pl.pallas_call(
@@ -216,8 +219,10 @@ def _prep(logits, labels, blank):
     # extended state labels: even → blank, odd s=2k+1 → labels[k]
     onehot = jax.nn.one_hot(labels.astype(jnp.int32), vocab, dtype=logits.dtype)  # [B,U,V]
     # batched GEMM contracting V (MXU) — a [B,T,U,V] broadcast-multiply here
-    # compiles pathologically slowly on the remote TPU compiler at scale
-    sel = jax.lax.dot_general(logits, onehot, (((2,), (2,)), ((0,), (0,))))  # [B,T,U] label logits
+    # compiles pathologically slowly on the remote TPU compiler at scale.
+    # HIGHEST: the TPU default (one bf16 pass) rounds the selected f32
+    # logits ~0.4% rel, which surfaced as ~1e-2 absolute grad error on-chip.
+    sel = jax.lax.dot_general(logits, onehot, (((2,), (2,)), ((0,), (0,))), precision=jax.lax.Precision.HIGHEST)  # [B,T,U] label logits
     lp_lab = sel - lse[:, :, None]
     lp_blank = logits[..., blank] - lse  # [B,T]
 
@@ -272,8 +277,9 @@ def _ctc_bwd(blank, interpret, residuals, g):
 
     onehot_blank = jax.nn.one_hot(jnp.zeros((), jnp.int32), vocab, dtype=jnp.float32)  # [V]
     # scatter the U label-occupancy grads into V bins as a batched GEMM
-    # contracting U (MXU) — not as a [B,T,U,V] broadcast-sum (see _prep)
-    w_lab = jax.lax.dot_general(g_lab, onehot.astype(jnp.float32), (((2,), (1,)), ((0,), (0,))))  # [B,T,V]
+    # contracting U (MXU) — not as a [B,T,U,V] broadcast-sum (see _prep).
+    # HIGHEST for the same reason as _prep's selection dot.
+    w_lab = jax.lax.dot_general(g_lab, onehot.astype(jnp.float32), (((2,), (1,)), ((0,), (0,))), precision=jax.lax.Precision.HIGHEST)  # [B,T,V]
     d = (
         g_blank[..., None] * onehot_blank[None, None, :]
         + w_lab

@@ -93,27 +93,27 @@ def _unskew(g: jax.Array, t: int, u1: int) -> jax.Array:
 def _pack_shape(batch: int, d_total: int, u1p: int) -> tuple:
     """(S sublane-packed, G lane-packed) examples per kernel grid step.
 
-    The round-1..4 kernel packed examples into LANES only: every row op was
-    [1, G·U1p] — at most 1 of the VPU's 8 sublanes live per vector register,
-    so each elementwise op burned G·U1p/128 vregs at 1/8 utilization. v2
-    (round 5) additionally stacks S example-groups into the SUBLANE dim
-    ([S, G·U1p] rows): the same sequential sweep now serves S·G examples per
-    grid step in dense (8, 128) vregs, cutting both the grid count (the DP
-    cost scaled linearly with batch/G — 16 sequential grid steps at bs128)
-    and the vreg count per row op. Bounded by VMEM: ~10 f32 [D, S·G·U1p]
-    buffer-copies (4 grid-blocked operands/outputs double-buffered + 2
-    scratch) must fit under the 100 MB limit.
+    S is pinned to 1 — a measured negative result (round 5, v5e,
+    scripts_dev/rnnt_dp_ab.py): stacking S=8 example-groups into the
+    SUBLANE dim ([S, G·U1p] rows in dense (8,128) vregs, 8× fewer grid
+    steps) ran ~25-60% SLOWER than lane-only packing at the bench shape
+    across three runs (e.g. 7.4-8.6 ms lane-only vs 9.4-10.4 ms sublane,
+    bs16 T=400 U=128). The DP is per-row LATENCY-bound, not vector-width
+    bound, and Mosaic lowers the rank-3 rolls/slices with S>1 worse than
+    the flat wide rows. Lanes-only instead packs up to G=16 examples
+    side-by-side ([1, G·U1p] rows) — G=16 measured ~14% faster than G=8
+    within-run (one grid step at bs16, half the sequential rows of G=8).
+    Bounded by VMEM: ~9 f32 [D, G·U1p] buffer-copies (4 grid-blocked
+    operands/outputs double-buffered + alpha scratch) under the 100 MB cap.
     """
-    slab = d_total * u1p * 4
-    e_max = max(1, min(64, (90 * 1024 * 1024) // (10 * slab)))
-    e = min(e_max, max(1, batch))
-    s = min(8, e)
-    g = -(-e // s)  # ceil
-    if s * g > e_max:
-        g = max(1, e_max // s)
+    budget = 80 * 1024 * 1024
+    per_example = d_total * u1p * 4 * 9
+    g = 16
+    while g > 1 and g * per_example > budget:
+        g //= 2
     if (g * u1p) == 384:  # the bisected 384-lane axon hang bucket — never emit it
         g = 2 if g == 3 else max(1, g - 1)
-    return s, g
+    return 1, g
 
 
 def _rnnt_kernel(
@@ -125,7 +125,6 @@ def _rnnt_kernel(
     #           and carries each example's loss at its segment's column 0
     gem2_ref,  # out [1, D, S, G·U1p] grads in EM2 coords (lp_emit[d-u, u])
     alpha_ref,  # scratch [D, S, G·U1p]
-    beta_ref,  # scratch [D, S, G·U1p]
     *,
     subl: int,
     group: int,
@@ -160,23 +159,31 @@ def _rnnt_kernel(
     # left) — which the existing boundary masks already force to NEG.
 
     # ------------------------------ forward ------------------------------- #
+    # The previous alpha row and BL row ride the fori_loop carry (registers)
+    # instead of being re-read from VMEM each iteration: the DP is per-row
+    # LATENCY-bound (measured ~9 µs/row at bench shapes when every operand
+    # came from a dynamic VMEM slice), so each removed load/store and the
+    # unrolling matter more than vector width.
     row0 = jnp.where((u_row == 0) & cell_valid(0), 0.0, NEG)
     alpha_ref[0:1] = row0
+    bl0 = bl_ref[0, 0:1]
     ll_sel = (u_row == u_len)  # exactly one lane per (s, segment) slot
-    ll_acc0 = jnp.where((d_final == 0) & ll_sel, row0 + bl_ref[0, 0:1], NEG)
+    ll_acc0 = jnp.where((d_final == 0) & ll_sel, row0 + bl0, NEG)
 
-    def fwd_body(d, ll_acc):
-        a_prev = alpha_ref[pl.ds(d - 1, 1)]
-        blank_term = a_prev + bl_ref[0, pl.ds(d - 1, 1)]
+    def fwd_body(d, carry):
+        a_prev, bl_prev, ll_acc = carry
+        blank_term = a_prev + bl_prev
         a_shift = pltpu.roll(a_prev, 1, 2)
         a_shift = jnp.where(u_row == 0, NEG, a_shift)
         emit_term = a_shift + em_ref[0, pl.ds(d, 1)]
         row = jnp.where(cell_valid(d), _logaddexp(blank_term, emit_term), NEG)
         alpha_ref[pl.ds(d, 1)] = row
+        bl_d = bl_ref[0, pl.ds(d, 1)]
         # ll = alpha[d_final, U] + BL[d_final, U], captured as d passes by
-        return jnp.where((d == d_final) & ll_sel, row + bl_ref[0, pl.ds(d, 1)], ll_acc)
+        ll_acc = jnp.where((d == d_final) & ll_sel, row + bl_d, ll_acc)
+        return row, bl_d, ll_acc
 
-    ll_acc = jax.lax.fori_loop(1, d_total, fwd_body, ll_acc0)
+    _, _, ll_acc = jax.lax.fori_loop(1, d_total, fwd_body, (row0, bl0, ll_acc0))
 
     # broadcast each slot's single selected ll lane to its whole segment via
     # two tiny 0/1 matmuls (segment indicator matrices), per sublane row
@@ -194,18 +201,17 @@ def _rnnt_kernel(
 
     # -------------------- backward + gradients (fused) -------------------- #
     # One sweep computes beta[d] AND the occupancy gradients for row d: at
-    # step d both inputs of grad_body — alpha[d] and beta[d+1] — are already
-    # in VMEM (beta[d+1] is this iteration's b_next), so a separate third
-    # D-row loop would only repeat the loads. Fusing cuts the kernel's
-    # sequential row ops from 3·D to 2·D (the DP is latency-bound: each row
-    # is a handful of VPU ops on [1, lanes]).
-    # Static trip count (compiler-friendly); rows above d_final are written
-    # as NEG (except the seed row d_final+1 = exit), so no clear pass needed.
-    def bwd_body(i, _):
+    # step d both inputs of grad_body — alpha[d] and beta[d+1] — are live
+    # (beta[d+1] is the carry), so a separate third D-row loop would only
+    # repeat the loads. Fusing cuts the kernel's sequential row ops from
+    # 3·D to 2·D, and carrying beta in registers removes the beta scratch
+    # array entirely (beta rows are never needed after their grad row).
+    # Static trip count (compiler-friendly); rows above d_final never exist
+    # — the seed row d_final+1 = exit is selected in-carry.
+    def bwd_body(i, b_next):
         d = d_total - 2 - i
         is_seed = d == d_final + 1
         above = d > d_final + 1
-        b_next = beta_ref[pl.ds(d + 1, 1)]
         bl_row = bl_ref[0, pl.ds(d, 1)]
         blank_term = bl_row + b_next
         b_next_shift = pltpu.roll(b_next, lanes - 1, 2)
@@ -218,23 +224,21 @@ def _rnnt_kernel(
         row = jnp.where(cell_valid(d) & jnp.logical_not(is_seed | above), row, NEG)
         seed_row = jnp.where(u_row == u_len, 0.0, NEG)
         row = jnp.where(is_seed, seed_row, row)
-        beta_ref[pl.ds(d, 1)] = row
 
-        # gradients for row d (beta_ref[d_final+1] already holds the exit
-        # seed when d == d_final, i.e. b_next)
+        # gradients for row d (b_next already holds the exit seed when
+        # d == d_final)
         a_row = alpha_ref[pl.ds(d, 1)]
         gbl = -jnp.exp(a_row + bl_row + b_next - ll)
         gem2 = -jnp.exp(a_row + em2_row + b_next_shift - ll)
         valid = cell_valid(d)
         gbl_ref[0, pl.ds(d, 1)] = jnp.where(valid, gbl, 0.0)
         gem2_ref[0, pl.ds(d, 1)] = jnp.where(valid, gem2, 0.0)
-        return 0
+        return row
 
     # top row: the exit seed for examples whose d_final+1 == D-1
     top_is_seed = d_final + 1 == d_total - 1
     top_row = jnp.where(top_is_seed & (u_row == u_len), 0.0, NEG)
-    beta_ref[pl.ds(d_total - 1, 1)] = top_row
-    jax.lax.fori_loop(0, d_total - 1, bwd_body, 0)
+    jax.lax.fori_loop(0, d_total - 1, bwd_body, top_row)
     # last row (never a valid diagonal: d_final <= D-2) carries the losses
     loss_row = jnp.where(u_row == 0, -ll, 0.0)
     gbl_ref[0, pl.ds(d_total - 1, 1)] = loss_row
@@ -284,8 +288,7 @@ def _rnnt_pallas_call(bl_skew, em_skew, logit_length, label_length, interpret: b
         in_specs=[spec, spec],
         out_specs=[spec, spec],
         scratch_shapes=[
-            pltpu.VMEM((d_total, subl, lanes), jnp.float32),
-            pltpu.VMEM((d_total, subl, lanes), jnp.float32),
+            pltpu.VMEM((d_total, subl, lanes), jnp.float32),  # alpha (beta rides the loop carry)
         ],
     )
     gbl_p, gem2_p = pl.pallas_call(
