@@ -277,62 +277,71 @@ def _bench_train_one(bs, nsamples, audio_secs, u_len, vocab, model, peak, scan_s
     return entry
 
 
-def bench_decode(model, variables, batch=8, audio_secs=10.0, sr=16000, iters=8):
+def bench_decode(model, variables, batch=8, audio_secs=10.0, sr=16000, scan_steps=8):
     """Greedy-decode RTF, measured as TWO jit programs (encode; WIND decode
     loop). The single fused recognize() program took ~14 min to compile on
     the remote helper (BENCH_r04); splitting compiles each half in a
-    fraction of that and times them back-to-back — a slightly pessimistic
-    (two host round-trips) but honest end-to-end latency."""
+    fraction of that. Each half scans ``scan_steps`` distinct batches inside
+    ONE jit dispatch: the tunneled accelerator adds a variable ~40-300 ms of
+    relay latency per host→device call, which dominated the per-call split
+    timing in the first r5 run (encode "282 ms" for ~10 ms of compute,
+    RTF 250× vs the fused program's 1806×). Inputs are generated on device
+    and vary per scan step so runtime result-caching cannot fire."""
     import jax
     import jax.numpy as jnp
 
-    from tensorflowasr_tpu.models.transducer import base as transducer_base
     from tensorflowasr_tpu.ops import transducer_decode
 
     nsamples = int(audio_secs * sr)
-    rng = np.random.default_rng(0)
     lengths = jnp.full((batch,), nsamples, jnp.int32)
 
     @jax.jit
-    def encode_fn(variables, signals):
-        enc, elens, _ = model.apply(variables, signals, lengths, method=model.encode)
-        return enc, elens
+    def encode_multi(variables, signals_k):
+        def body(c, signals):
+            enc, elens, _ = model.apply(variables, signals, lengths, method=model.encode)
+            return c, (enc, elens)
+
+        return jax.lax.scan(body, 0, signals_k)[1]
 
     @jax.jit
-    def decode_fn(variables, encoded, encoded_length):
-        def pred_step_fn(tok, states):
-            return model.apply(variables, tok, states, method=model.pred_step)
+    def decode_multi(variables, encs_k, elens_k):
+        def body(c, args):
+            encoded, encoded_length = args
 
-        def joint_window_fn(enc_win, pred_out):
-            return model.apply(variables, enc_win, pred_out, method=model.joint_window)
+            def pred_step_fn(tok, states):
+                return model.apply(variables, tok, states, method=model.pred_step)
 
-        tokens, lens, _, _ = transducer_decode.transducer_greedy_decode_wind(
-            encoded, encoded_length, pred_step_fn, joint_window_fn,
-            model.init_tokens(batch), model.init_decoder_states(batch), blank=model.blank,
-        )
-        return tokens, lens
+            def joint_window_fn(enc_win, pred_out):
+                return model.apply(variables, enc_win, pred_out, method=model.joint_window)
+
+            tokens, lens, _, _ = transducer_decode.transducer_greedy_decode_wind(
+                encoded, encoded_length, pred_step_fn, joint_window_fn,
+                model.init_tokens(batch), model.init_decoder_states(batch), blank=model.blank,
+            )
+            return c, (tokens, lens)
+
+        return jax.lax.scan(body, 0, (encs_k, elens_k))[1]
 
     def make_signals(seed):
-        r = np.random.default_rng(seed)
-        return jnp.asarray(r.standard_normal((batch, nsamples)) * 0.1, jnp.float32)
+        return jax.random.normal(jax.random.PRNGKey(seed), (scan_steps, batch, nsamples), jnp.float32) * 0.1
 
     # warmup/compile both halves
-    enc, elens = encode_fn(variables, make_signals(0))
-    tokens, _ = decode_fn(variables, enc, elens)
+    encs, elens = encode_multi(variables, make_signals(0))
+    tokens, _ = decode_multi(variables, encs, elens)
     np.asarray(tokens)
 
     t_enc, t_dec = [], []
-    for i in range(1, iters + 1):
+    for i in range(1, 4):
         s = make_signals(i)
         t0 = time.perf_counter()
-        enc, elens = encode_fn(variables, s)
+        encs, elens = encode_multi(variables, s)
         np.asarray(elens)  # force completion (block_until_ready can no-op here)
         t1 = time.perf_counter()
-        tokens, _ = decode_fn(variables, enc, elens)
+        tokens, _ = decode_multi(variables, encs, elens)
         np.asarray(tokens)
         t2 = time.perf_counter()
-        t_enc.append(t1 - t0)
-        t_dec.append(t2 - t1)
+        t_enc.append((t1 - t0) / scan_steps)
+        t_dec.append((t2 - t1) / scan_steps)
     dt = float(np.median(t_enc)) + float(np.median(t_dec))
     return {
         "rtf": round(batch * audio_secs / dt, 3),
