@@ -161,6 +161,51 @@ def conv1_gemm():
     return _grad_runner(lambda x, k, b: conv1_gemm_apply(x, k, b, jnp.bfloat16), (B, TF, F, 1), _conv1_params())
 
 
+def conv1_fma_apply(x, kernel, bias, dtype):
+    """conv_0 as 9 shifted broadcast FMAs: with C_in=1 and a 3x3 kernel the
+    conv is sum_{dt,df} x[2to+dt-2, 2fo+df-2] * k[dt,df,0,:] — nine
+    [B,t_out,f_out,1]x[D] broadcast multiply-accumulates that XLA can fuse
+    into ONE elementwise pass over the [B,t_out,f_out,D] output. No MXU at
+    all: the op is HBM-bound on its own 147 MB output, which is the floor."""
+    import jax
+    import jax.numpy as jnp
+
+    b, t, f, _ = x.shape
+    kt, kf, _, d = kernel.shape
+    st, sf = 2, 2
+    t_out = (t + (kt - 1) - kt) // st + 1
+    f_out = (f + (kf - 1) - kf) // sf + 1
+    xp = jnp.pad(x[..., 0], ((0, 0), (kt - 1, 0), (kf - 1, 0))).astype(dtype)  # [B, T+2, F+2]
+    k = kernel.astype(dtype)
+    out = None
+    for dt in range(kt):
+        for df in range(kf):
+            sl = jax.lax.slice(
+                xp, (0, dt, df), (b, dt + st * (t_out - 1) + 1, df + sf * (f_out - 1) + 1), (1, st, sf)
+            )  # [B, t_out, f_out]
+            term = sl[..., None] * k[dt, df, 0, :]
+            out = term if out is None else out + term
+    return out + bias.astype(dtype)
+
+
+def parity_fma():
+    import jax.numpy as jnp
+
+    kernel, bias = _conv1_params()
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 101, F, 1)), jnp.float32)
+    ref = np.asarray(_conv1_xla_apply(x, kernel, bias, jnp.float32))
+    got = np.asarray(conv1_fma_apply(x, kernel, bias, jnp.float32))
+    err = float(np.max(np.abs(ref - got)) / max(1e-9, float(np.max(np.abs(ref)))))
+    print(json.dumps({"component": "parity_conv1_fma_f32", "rel_err": err, "ok": err < 1e-5}), flush=True)
+
+
+def conv1_fma():
+    import jax.numpy as jnp
+
+    return _grad_runner(lambda x, k, b: conv1_fma_apply(x, k, b, jnp.bfloat16), (B, TF, F, 1), _conv1_params())
+
+
 def _conv2_params(seed=2):
     import jax
     import jax.numpy as jnp
@@ -237,8 +282,10 @@ def bnswish():
 
 RUNNERS = {
     "parity": parity,
+    "parity_fma": parity_fma,
     "conv1_xla": conv1_xla,
     "conv1_gemm": conv1_gemm,
+    "conv1_fma": conv1_fma,
     "conv2_xla": conv2_xla,
     "conv2_im2col": conv2_im2col,
     "bnswish": bnswish,
@@ -253,7 +300,7 @@ def main():
 
     for n in names:
         fn = RUNNERS[n]
-        if n == "parity":
+        if n.startswith("parity"):
             fn()
             continue
         try:

@@ -94,47 +94,56 @@ def _t_tile() -> int:
 
 
 def _fwd_kernel(
-    lab_ref,  # [1, TT*U1p, 1] int32 label id per tile row; -1 where no emit
+    lab_ref,  # [1, 1, TT*U1p] int32 label id per tile row (lane r = t·U1p+u); -1 where no emit
     enc_ref,  # [1, TT, Jp]
     pred_ref,  # [1, U1p, Jp]
-    wv_ref,  # [Jp, Vp]
-    bv_ref,  # [1, Vp]
-    lpb_ref,  # out [1, TT*U1p, 1]
-    lpe_ref,  # out [1, TT*U1p, 1]
-    lse_ref,  # out [1, TT*U1p, 1]
+    wvt_ref,  # [Vp, Jp] (vocab kernel TRANSPOSED)
+    bvt_ref,  # [Vp, 1]
+    stats_ref,  # out [1, 1, 3, TT*U1p]: sublane 0 = lp_blank, 1 = lp_emit, 2 = lse
     *,
     tt: int,
     u1p: int,
 ):
+    """Transposed-logits orientation: ``logitsT[v, r]`` puts the (t, u) rows
+    in LANES, so the three per-row reductions come out as dense [1, TU] rows
+    instead of [TU, 1] columns. The round-4 row-major kernel emitted
+    [B, n_t, TT·U1p, 1] buffers whose size-1 minor dim XLA pads to 128 lanes
+    — a 128× memory blowup (3 × 3.66 GiB at bs128 = the OOM that killed the
+    bs128 bench point; ~5 GB/step of pure padding HBM traffic at bs16)."""
     f32 = jnp.float32
     # add + tanh run in the matmul dtype (bf16 in training): the VPU packs
     # two bf16 lanes per f32 lane, halving the T·U1·J transcendental cost
     # that dominates this kernel, and it matches the UNFUSED path exactly —
     # ops/losses.py computes jnp.tanh on bf16 operands too. f32 inputs keep
     # the f32 tanh (interpret-mode goldens).
-    enc = enc_ref[0].astype(wv_ref.dtype)  # [TT, Jp]
-    pred = pred_ref[0].astype(wv_ref.dtype)  # [U1p, Jp]
+    enc = enc_ref[0].astype(wvt_ref.dtype)  # [TT, Jp]
+    pred = pred_ref[0].astype(wvt_ref.dtype)  # [U1p, Jp]
     z3 = enc[:, None, :] + pred[None, :, :]  # [TT, U1p, Jp]
     # rows r = t*U1p + u
     a = jnp.tanh(z3).reshape(tt * u1p, -1)
     # HIGHEST only for f32 operands (Mosaic's default f32 matmul rounds to
     # one bf16 pass); bf16 operands must use DEFAULT (fp32-precision matmul
     # on bf16 vectors is rejected: "Bad lhs type")
-    prec = jax.lax.Precision.HIGHEST if wv_ref.dtype == f32 else jax.lax.Precision.DEFAULT
-    logits = jnp.dot(a.astype(wv_ref.dtype), wv_ref[...], preferred_element_type=f32, precision=prec) + bv_ref[...]
+    prec = jax.lax.Precision.HIGHEST if wvt_ref.dtype == f32 else jax.lax.Precision.DEFAULT
+    # [Vp, Jp] ·contract Jp· [TU, Jp] → [Vp, TU]: both operands contract on
+    # their minor dim (the attention-QKᵀ pattern — MXU-native, no relayout)
+    logits = (
+        jax.lax.dot_general(wvt_ref[...], a.astype(wvt_ref.dtype), (((1,), (1,)), ((), ())), precision=prec, preferred_element_type=f32)
+        + bvt_ref[...]
+    )
 
-    m = jnp.max(logits, axis=1, keepdims=True)
-    lse = m + jnp.log(jnp.sum(jnp.exp(logits - m), axis=1, keepdims=True))
-    lpb = logits[:, 0:1] - lse
+    m = jnp.max(logits, axis=0, keepdims=True)
+    lse = m + jnp.log(jnp.sum(jnp.exp(logits - m), axis=0, keepdims=True))
+    lpb = logits[0:1, :] - lse
 
-    lab_rows = lab_ref[0]  # [TT*U1p, 1]
-    v_iota = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-    sel = jnp.sum(jnp.where(v_iota == lab_rows, logits, 0.0), axis=1, keepdims=True)
-    lpe = jnp.where(lab_rows >= 0, sel - lse, NEG)
+    lab_lanes = lab_ref[0]  # [1, TU]
+    v_iota = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0)
+    sel = jnp.sum(jnp.where(v_iota == lab_lanes, logits, 0.0), axis=0, keepdims=True)
+    lpe = jnp.where(lab_lanes >= 0, sel - lse, NEG)
 
-    lse_ref[0, 0] = lse
-    lpb_ref[0, 0] = lpb
-    lpe_ref[0, 0] = lpe
+    stats_ref[0, 0, 0:1] = lpb
+    stats_ref[0, 0, 1:2] = lpe
+    stats_ref[0, 0, 2:3] = lse
 
 
 # --------------------------------------------------------------------------- #
@@ -143,18 +152,16 @@ def _fwd_kernel(
 
 
 def _bwd_kernel(
-    lab_ref,  # [1, TT*U1p, 1] int32 label id per tile row
+    lab_ref,  # [1, 1, TT*U1p] int32 label id per tile row (lane-major)
     enc_ref,  # [1, TT, Jp]
     pred_ref,  # [1, U1p, Jp]
-    wv_ref,  # [Jp, Vp]
-    bv_ref,  # [1, Vp]
-    lse_ref,  # [1, TT*U1p, 1] (from fwd)
-    gbl_ref,  # [1, TT*U1p, 1] dL/d lp_blank rows (upstream-scaled)
-    gem_ref,  # [1, TT*U1p, 1] dL/d lp_emit rows (upstream-scaled)
+    wvt_ref,  # [Vp, Jp] (vocab kernel TRANSPOSED)
+    bvt_ref,  # [Vp, 1]
+    stats_ref,  # [1, 1, 3, TT*U1p]: sublane 0 = lse (from fwd), 1 = gbl, 2 = gem (upstream-scaled)
     denc_ref,  # out [1, TT, Jp] (written once per (b, tt))
     dpred_ref,  # out [1, U1p, Jp] (accumulated over tt for fixed b)
-    dwv_ref,  # out [Jp, Vp] (accumulated over all steps)
-    dbv_ref,  # out [1, Vp] (accumulated over all steps)
+    dwvt_ref,  # out [Vp, Jp] (accumulated over all steps; transposed back XLA-side)
+    dbvt_ref,  # out [Vp, 1] (accumulated over all steps)
     *,
     tt: int,
     u1p: int,
@@ -165,43 +172,46 @@ def _bwd_kernel(
 
     # bf16 add+tanh for bf16 inputs — see _fwd_kernel (must recompute the
     # SAME activation values the forward produced)
-    enc = enc_ref[0].astype(wv_ref.dtype)
-    pred = pred_ref[0].astype(wv_ref.dtype)
+    enc = enc_ref[0].astype(wvt_ref.dtype)
+    pred = pred_ref[0].astype(wvt_ref.dtype)
     z3 = enc[:, None, :] + pred[None, :, :]
     a = jnp.tanh(z3).reshape(tt * u1p, -1)  # [TU, Jp]
     # HIGHEST only for f32 operands (Mosaic's default f32 matmul rounds to
     # one bf16 pass); bf16 operands must use DEFAULT (fp32-precision matmul
     # on bf16 vectors is rejected: "Bad lhs type")
-    prec = jax.lax.Precision.HIGHEST if wv_ref.dtype == f32 else jax.lax.Precision.DEFAULT
-    logits = jnp.dot(a.astype(wv_ref.dtype), wv_ref[...], preferred_element_type=f32, precision=prec) + bv_ref[...]
+    prec = jax.lax.Precision.HIGHEST if wvt_ref.dtype == f32 else jax.lax.Precision.DEFAULT
+    logits = (
+        jax.lax.dot_general(wvt_ref[...], a.astype(wvt_ref.dtype), (((1,), (1,)), ((), ())), precision=prec, preferred_element_type=f32)
+        + bvt_ref[...]
+    )  # [Vp, TU]
 
-    lse = lse_ref[0, 0]  # [TU, 1]
-    gbl = gbl_ref[0, 0]
-    gem = gem_ref[0, 0]
+    lse = stats_ref[0, 0, 0:1]  # [1, TU]
+    gbl = stats_ref[0, 0, 1:2]
+    gem = stats_ref[0, 0, 2:3]
     softmax = jnp.exp(logits - lse)
     gsum = gbl + gem
-    lab_rows = lab_ref[0]  # [TT*U1p, 1]
-    v_iota = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-    # d logits = 1[v=0]·gbl + 1[v=lab]·gem − softmax·(gbl+gem)
-    dlogits = jnp.where(v_iota == 0, gbl, 0.0) + jnp.where(v_iota == lab_rows, gem, 0.0) - softmax * gsum
+    lab_lanes = lab_ref[0]  # [1, TU]
+    v_iota = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0)
+    # d logitsT = 1[v=0]·gbl + 1[v=lab]·gem − softmaxT·(gbl+gem)
+    dlogits = jnp.where(v_iota == 0, gbl, 0.0) + jnp.where(v_iota == lab_lanes, gem, 0.0) - softmax * gsum
 
     hp = jax.lax.Precision.HIGHEST
-    # dWv += aᵀ @ dlogits ; dbv += Σ_rows dlogits
+    # dWvT += dlogitsT @ a ; dbvT += Σ_lanes dlogitsT
     prec2 = jax.lax.Precision.HIGHEST if a.dtype == f32 else jax.lax.Precision.DEFAULT
-    dwv_part = jax.lax.dot_general(a, dlogits.astype(a.dtype), (((0,), (0,)), ((), ())), precision=prec2, preferred_element_type=f32)
-    dbv_part = jnp.sum(dlogits, axis=0, keepdims=True)
+    dwvt_part = jax.lax.dot_general(dlogits.astype(a.dtype), a, (((1,), (0,)), ((), ())), precision=prec2, preferred_element_type=f32)
+    dbvt_part = jnp.sum(dlogits, axis=1, keepdims=True)
 
     @pl.when((b_idx == 0) & (t_idx == 0))
     def _init_wv():
-        dwv_ref[...] = jnp.zeros_like(dwv_ref)
-        dbv_ref[...] = jnp.zeros_like(dbv_ref)
+        dwvt_ref[...] = jnp.zeros_like(dwvt_ref)
+        dbvt_ref[...] = jnp.zeros_like(dbvt_ref)
 
-    dwv_ref[...] += dwv_part
-    dbv_ref[...] += dbv_part
+    dwvt_ref[...] += dwvt_part
+    dbvt_ref[...] += dbvt_part
 
-    # da = dlogits @ Wvᵀ ; dz = da·(1−a²)
-    wv = wv_ref[...].astype(f32)
-    da = jax.lax.dot_general(dlogits, wv, (((1,), (1,)), ((), ())), precision=hp, preferred_element_type=f32)
+    # da[r, j] = Σ_v dlogitsT[v, r]·WvT[v, j] ; dz = da·(1−a²)
+    wvt = wvt_ref[...].astype(f32)
+    da = jax.lax.dot_general(dlogits, wvt, (((0,), (0,)), ((), ())), precision=hp, preferred_element_type=f32)
     a32 = a.astype(f32)
     dz = (da * (1.0 - a32 * a32)).reshape(tt, u1p, -1)  # [TT, U1p, Jp]
 
@@ -226,54 +236,54 @@ def _pad_inputs(enc_p, pred_p, wv, bv, labels):
     jp, u1p, vp = _lanes_j(j), _sublanes_u(u1), _lanes(v)
     tt = _t_tile()
     tp = round_up(t, tt)
-    # NEG-pad bv columns so padded vocab lanes never win lse/argmax sums;
+    # NEG-pad bvT rows so padded vocab SUBLANES never win the lse max/sum;
     # zero-pad everything else (padded J lanes contribute 0 to dots)
     enc_pad = jnp.pad(enc_p, ((0, 0), (0, tp - t), (0, jp - j)))
     pred_pad = jnp.pad(pred_p, ((0, 0), (0, u1p - u1), (0, jp - j)))
-    wv_pad = jnp.pad(wv, ((0, jp - j), (0, vp - v)))
-    bv_pad = jnp.pad(bv.reshape(1, -1), ((0, 0), (0, vp - v)), constant_values=NEG)
+    wvt_pad = jnp.pad(wv, ((0, jp - j), (0, vp - v))).T  # [Vp, Jp]
+    bvt_pad = jnp.pad(bv.reshape(-1, 1), ((0, vp - v), (0, 0)), constant_values=NEG)  # [Vp, 1]
     lab = jnp.pad(labels.astype(jnp.int32), ((0, 0), (0, 1)), constant_values=-1)  # [B, U1]
     lab = jnp.pad(lab, ((0, 0), (0, u1p - u1)), constant_values=-1)
-    # one label id per z-tile ROW (r = t_in_tile*U1p + u): the same [U1p]
-    # pattern tiled TT times, precomputed here because collapsing lanes into
-    # sublanes inside the kernel is an unsupported Mosaic shape cast
-    lab_rows = jnp.tile(lab, (1, tt))[:, :, None]  # [B, TT*U1p, 1]
-    return enc_pad, pred_pad, wv_pad, bv_pad, lab_rows, (tt, tp, jp, u1p, vp)
+    # one label id per z-tile row r = t_in_tile*U1p + u, LANE-major: the same
+    # [U1p] pattern tiled TT times along lanes, precomputed here because the
+    # lane-index gather is not expressible inside the kernel
+    lab_lanes = jnp.tile(lab, (1, tt))[:, None, :]  # [B, 1, TT*U1p]
+    return enc_pad, pred_pad, wvt_pad, bvt_pad, lab_lanes, (tt, tp, jp, u1p, vp)
 
 
 def _joint_logprobs(enc_p, pred_p, wv, bv, labels, interpret):
     """→ (lp_blank, lp_emit, lse) each [B, T, U1p-true-sliced]."""
     b, t, _ = enc_p.shape
     u1 = pred_p.shape[1]
-    enc_pad, pred_pad, wv_pad, bv_pad, lab, (tt, tp, jp, u1p, vp) = _pad_inputs(enc_p, pred_p, wv, bv, labels)
+    enc_pad, pred_pad, wvt_pad, bvt_pad, lab, (tt, tp, jp, u1p, vp) = _pad_inputs(enc_p, pred_p, wv, bv, labels)
     n_t = tp // tt
 
-    col = lambda: pl.BlockSpec((1, 1, tt * u1p, 1), lambda bi, ti: (bi, ti, 0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(b, n_t),
         in_specs=[
-            pl.BlockSpec((1, tt * u1p, 1), lambda bi, ti: (bi, 0, 0)),
+            pl.BlockSpec((1, 1, tt * u1p), lambda bi, ti: (bi, 0, 0)),
             pl.BlockSpec((1, tt, jp), lambda bi, ti: (bi, ti, 0)),
             pl.BlockSpec((1, u1p, jp), lambda bi, ti: (bi, 0, 0)),
-            pl.BlockSpec((jp, vp), lambda bi, ti: (0, 0)),
-            pl.BlockSpec((1, vp), lambda bi, ti: (0, 0)),
+            pl.BlockSpec((vp, jp), lambda bi, ti: (0, 0)),
+            pl.BlockSpec((vp, 1), lambda bi, ti: (0, 0)),
         ],
-        out_specs=[col(), col(), col()],
+        # ONE dense lane-major stats output (sublanes 0/1/2 = lpb/lpe/lse):
+        # a [B, n_t, TU, 1] column layout would be lane-padded 128× by XLA
+        out_specs=[pl.BlockSpec((1, 1, 3, tt * u1p), lambda bi, ti: (bi, ti, 0, 0))],
     )
-    outs = pl.pallas_call(
+    (stats,) = pl.pallas_call(
         functools.partial(_fwd_kernel, tt=tt, u1p=u1p),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((b, n_t, tt * u1p, 1), jnp.float32)] * 3,
+        out_shape=[jax.ShapeDtypeStruct((b, n_t, 3, tt * u1p), jnp.float32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(lab, enc_pad, pred_pad, wv_pad, bv_pad)
+    )(lab, enc_pad, pred_pad, wvt_pad, bvt_pad)
 
-    def unpack(x):  # [B, n_t, TT*U1p, 1] → [B, T, U1]
-        return x.reshape(b, tp, u1p)[:, :t, :u1]
+    def unpack(k):  # stats sublane k: [B, n_t, TT*U1p] → [B, T, U1]
+        return stats[:, :, k, :].reshape(b, tp, u1p)[:, :t, :u1]
 
-    lpb, lpe, lse = (unpack(o) for o in outs)
-    return lpb, lpe, lse
+    return unpack(0), unpack(1), unpack(2)
 
 
 def _joint_backward(enc_p, pred_p, wv, bv, labels, lse, gbl, gem, interpret):
@@ -282,54 +292,54 @@ def _joint_backward(enc_p, pred_p, wv, bv, labels, lse, gbl, gem, interpret):
     b, t, j = enc_p.shape
     u1 = pred_p.shape[1]
     v = wv.shape[1]
-    enc_pad, pred_pad, wv_pad, bv_pad, lab, (tt, tp, jp, u1p, vp) = _pad_inputs(enc_p, pred_p, wv, bv, labels)
+    enc_pad, pred_pad, wvt_pad, bvt_pad, lab, (tt, tp, jp, u1p, vp) = _pad_inputs(enc_p, pred_p, wv, bv, labels)
     n_t = tp // tt
 
-    def pack(x, fill=0.0):  # [B, T, U1] → [B, n_t, TT*U1p, 1]
+    def pack(x, fill=0.0):  # [B, T, U1] → [B, n_t, 1, TT*U1p] lane-major
         xp = jnp.pad(x.astype(jnp.float32), ((0, 0), (0, tp - t), (0, u1p - u1)), constant_values=fill)
-        return xp.reshape(b, n_t, tt * u1p, 1)
+        return xp.reshape(b, n_t, 1, tt * u1p)
 
-    col = lambda: pl.BlockSpec((1, 1, tt * u1p, 1), lambda bi, ti: (bi, ti, 0, 0))
+    # lse pads with +1e9 so padded rows' softmax underflows to 0 (their
+    # gbl/gem are 0, but exp(logits − 0) could overflow otherwise); sublane
+    # order matches _bwd_kernel: 0 = lse, 1 = gbl, 2 = gem
+    stats = jnp.concatenate([pack(lse, 1e9), pack(gbl), pack(gem)], axis=2)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(b, n_t),
         in_specs=[
-            pl.BlockSpec((1, tt * u1p, 1), lambda bi, ti: (bi, 0, 0)),
+            pl.BlockSpec((1, 1, tt * u1p), lambda bi, ti: (bi, 0, 0)),
             pl.BlockSpec((1, tt, jp), lambda bi, ti: (bi, ti, 0)),
             pl.BlockSpec((1, u1p, jp), lambda bi, ti: (bi, 0, 0)),
-            pl.BlockSpec((jp, vp), lambda bi, ti: (0, 0)),
-            pl.BlockSpec((1, vp), lambda bi, ti: (0, 0)),
-            col(),
-            col(),
-            col(),
+            pl.BlockSpec((vp, jp), lambda bi, ti: (0, 0)),
+            pl.BlockSpec((vp, 1), lambda bi, ti: (0, 0)),
+            pl.BlockSpec((1, 1, 3, tt * u1p), lambda bi, ti: (bi, ti, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, tt, jp), lambda bi, ti: (bi, ti, 0)),
             pl.BlockSpec((1, u1p, jp), lambda bi, ti: (bi, 0, 0)),
-            pl.BlockSpec((jp, vp), lambda bi, ti: (0, 0)),
-            pl.BlockSpec((1, vp), lambda bi, ti: (0, 0)),
+            pl.BlockSpec((vp, jp), lambda bi, ti: (0, 0)),
+            pl.BlockSpec((vp, 1), lambda bi, ti: (0, 0)),
         ],
     )
-    denc, dpred, dwv, dbv = pl.pallas_call(
+    denc, dpred, dwvt, dbvt = pl.pallas_call(
         functools.partial(_bwd_kernel, tt=tt, u1p=u1p),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((b, tp, jp), jnp.float32),
             jax.ShapeDtypeStruct((b, u1p, jp), jnp.float32),
-            jax.ShapeDtypeStruct((jp, vp), jnp.float32),
-            jax.ShapeDtypeStruct((1, vp), jnp.float32),
+            jax.ShapeDtypeStruct((vp, jp), jnp.float32),
+            jax.ShapeDtypeStruct((vp, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    # lse pads with +1e9 so padded rows' softmax underflows to 0 (their
-    # gbl/gem are 0, but exp(logits − 0) could overflow otherwise)
-    )(lab, enc_pad, pred_pad, wv_pad, bv_pad, pack(lse, 1e9), pack(gbl), pack(gem))
+    )(lab, enc_pad, pred_pad, wvt_pad, bvt_pad, stats)
 
     return (
         denc[:, :t, :j].astype(enc_p.dtype),
         dpred[:, :u1, :j].astype(pred_p.dtype),
-        dwv[:j, :v].astype(wv.dtype),
-        dbv[0, :v].astype(bv.dtype),
+        dwvt[:v, :j].T.astype(wv.dtype),
+        dbvt[:v, 0].astype(bv.dtype),
     )
 
 
