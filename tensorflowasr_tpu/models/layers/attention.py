@@ -370,8 +370,12 @@ class MultiHeadRelativeAttention(MultiHeadAttention):
                 kv_bias = ((1.0 - kv_mask.astype(jnp.float32)) * jnp.float32(-1e9))[:, None, :]
             # the query-row term must be applied even alone: −1e9 in f32
             # absorbs O(1) scores (ulp(1e9)=64), so reference masked rows
-            # attend ~uniformly — reproduced by the same in-kernel add
-            q_valid = query_mask.astype(jnp.float32)[:, :, None] if query_mask is not None else None
+            # attend ~uniformly — reproduced by the same in-kernel add.
+            # Framework masks are length-prefix masks (lengths threading),
+            # so the row validity collapses to a per-batch LENGTH riding the
+            # kernel's scalar-prefetch channel — a [B, T, 1] f32 operand
+            # would lane-pad 128× on TPU (~99 MB HLO temp per block, bs128).
+            q_len = jnp.sum(query_mask.astype(jnp.int32), axis=1) if query_mask is not None else None
             rate = float(self.dropout) if train else 0.0
             if rate > 0:
                 seed = jax.random.randint(self.make_rng("dropout"), (), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
@@ -384,7 +388,7 @@ class MultiHeadRelativeAttention(MultiHeadAttention):
                 fold(v),
                 fold(pos),
                 kv_bias,
-                q_valid,
+                q_len,
                 seed,
                 rate,
                 bool(use_causal_mask),

@@ -343,7 +343,7 @@ def _inkernel_vis_bias(t: int, s: int, shape, causal: bool, chunk_size, history_
     return jnp.where(allowed, 0.0, -1e9)
 
 
-def _rel_scores(qc_ref, qp_ref, k_ref, pos_ref, kvb_ref, qv_ref, *, t, s_true, r_true, extra, causal, chunk_size, history_size):
+def _rel_scores(qc_ref, qp_ref, k_ref, pos_ref, kvb_ref, qlen, *, t, s_true, r_true, extra, causal, chunk_size, history_size):
     f32 = jnp.float32
     qc = qc_ref[0]
     qp = qp_ref[0]
@@ -359,7 +359,13 @@ def _rel_scores(qc_ref, qp_ref, k_ref, pos_ref, kvb_ref, qv_ref, *, t, s_true, r
     # row adds −1e9 to every column — which is NOT a softmax no-op in f32:
     # ulp(1e9)=64 absorbs O(1) score differences, so the reference's masked
     # rows attend ~uniformly. Adding the same −1e9 in-kernel (f32) absorbs
-    # identically.
+    # identically. The query-row validity arrives as a per-batch LENGTH in
+    # the scalar-prefetch channel (rows < qlen) — a [B, T, 1] f32 operand
+    # would lane-pad 128× (99 MB of HLO temp per block at bs128, the r4
+    # bs128-OOM's second term).
+    qvalid = None
+    if qlen is not None:
+        qvalid = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) < qlen
     add = None
     if kvb_ref is not None:
         add = jnp.broadcast_to(kvb_ref[0].astype(f32), s.shape)
@@ -368,19 +374,28 @@ def _rel_scores(qc_ref, qp_ref, k_ref, pos_ref, kvb_ref, qv_ref, *, t, s_true, r
         add = visb if add is None else add + visb
     if add is not None:
         add = jnp.maximum(add, -1e9)
-        if qv_ref is not None:
-            add = jnp.where(qv_ref[0] > 0, add, jnp.float32(-1e9))
+        if qvalid is not None:
+            add = jnp.where(qvalid, add, jnp.float32(-1e9))
         s = s + add
-    elif qv_ref is not None:
-        s = s + jnp.where(qv_ref[0] > 0, jnp.float32(0.0), jnp.float32(-1e9))
+    elif qvalid is not None:
+        s = s + jnp.where(qvalid, jnp.float32(0.0), jnp.float32(-1e9))
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     return jnp.where(col < s_true, s, NEG_PAD)
 
 
-def _rel_fwd_kernel(seed_ref, qc_ref, qp_ref, k_ref, v_ref, pos_ref, kvb_ref, qv_ref, o_ref, *, t, s_true, r_true, extra, causal, chunk_size, history_size, rate):
+def _qlen_of(scal_ref, has_qlen: bool, heads: int):
+    """Per-batch query length from the scalar-prefetch row ([seed, len_0..]),
+    or None when no query mask was given."""
+    if not has_qlen:
+        return None
+    return scal_ref[1 + pl.program_id(0) // heads]
+
+
+def _rel_fwd_kernel(seed_ref, qc_ref, qp_ref, k_ref, v_ref, pos_ref, kvb_ref, o_ref, *, t, s_true, r_true, extra, causal, chunk_size, history_size, rate, has_qlen, heads):
     f32 = jnp.float32
     bh = pl.program_id(0)
-    s = _rel_scores(qc_ref, qp_ref, k_ref, pos_ref, kvb_ref, qv_ref, t=t, s_true=s_true, r_true=r_true, extra=extra, causal=causal, chunk_size=chunk_size, history_size=history_size)
+    qlen = _qlen_of(seed_ref, has_qlen, heads)
+    s = _rel_scores(qc_ref, qp_ref, k_ref, pos_ref, kvb_ref, qlen, t=t, s_true=s_true, r_true=r_true, extra=extra, causal=causal, chunk_size=chunk_size, history_size=history_size)
     pn, _, _ = _softmax_rows(s)
     if rate > 0.0:
         pn = pn * _dropout_mask(seed_ref[0] + bh * jnp.int32(40499), pn.shape, rate)
@@ -389,13 +404,14 @@ def _rel_fwd_kernel(seed_ref, qc_ref, qp_ref, k_ref, v_ref, pos_ref, kvb_ref, qv
 
 
 def _rel_bwd_kernel(
-    seed_ref, qc_ref, qp_ref, k_ref, v_ref, pos_ref, kvb_ref, qv_ref, do_ref,
+    seed_ref, qc_ref, qp_ref, k_ref, v_ref, pos_ref, kvb_ref, do_ref,
     dqc_ref, dqp_ref, dk_ref, dv_ref, dpos_ref,
-    *, t, s_true, r_true, extra, causal, chunk_size, history_size, rate,
+    *, t, s_true, r_true, extra, causal, chunk_size, history_size, rate, has_qlen, heads,
 ):
     f32 = jnp.float32
     bh = pl.program_id(0)
-    s = _rel_scores(qc_ref, qp_ref, k_ref, pos_ref, kvb_ref, qv_ref, t=t, s_true=s_true, r_true=r_true, extra=extra, causal=causal, chunk_size=chunk_size, history_size=history_size)
+    qlen = _qlen_of(seed_ref, has_qlen, heads)
+    s = _rel_scores(qc_ref, qp_ref, k_ref, pos_ref, kvb_ref, qlen, t=t, s_true=s_true, r_true=r_true, extra=extra, causal=causal, chunk_size=chunk_size, history_size=history_size)
     pn, _, _ = _softmax_rows(s)  # stats recomputed, not loaded (see _softmax_rows)
     do = do_ref[0].astype(f32)
     v = v_ref[0]
@@ -434,24 +450,25 @@ def _rel_bwd_kernel(
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13))
-def fused_rel_attention(qc, qp, k, v, pos, kv_bias, q_valid, seed, rate: float = 0.0, causal: bool = False, chunk_size=None, history_size=None, interpret: bool = False, pe_causal: bool = False):
+def fused_rel_attention(qc, qp, k, v, pos, kv_bias, q_len, seed, rate: float = 0.0, causal: bool = False, chunk_size=None, history_size=None, interpret: bool = False, pe_causal: bool = False):
     """Transformer-XL relative attention, fully fused per (b·h) grid step.
 
     qc/qp: [BH, T, D] content/positional queries (bias-added, scaled);
     k/v: [BH, S, D]; pos: [BH, R, D] projected relative PE (R = M+2T-1
     non-causal, M+T causal); kv_bias: [B, 1, S] additive f32 (key-column
-    mask term; H consecutive grid steps share one row) or None; q_valid:
-    [B, T, 1] f32 0/1 query-row validity (only meaningful when combined
-    with kv/visibility terms — Keras-parity quirk, see _rel_scores) or
-    None; seed: int32 scalar for in-kernel probs dropout. Visibility
-    (causal / chunk+history streaming) is rebuilt in-kernel from static
-    params. Returns [BH, T, D] in qc.dtype.
+    mask term; H consecutive grid steps share one row) or None; q_len:
+    s32[B] per-batch query VALID LENGTH (rows ≥ q_len[b] get −1e9 on every
+    column — Keras-parity quirk, see _rel_scores; rides the scalar-prefetch
+    channel so no lane-padded [B, T, 1] operand exists) or None; seed:
+    int32 scalar for in-kernel probs dropout. Visibility (causal /
+    chunk+history streaming) is rebuilt in-kernel from static params.
+    Returns [BH, T, D] in qc.dtype.
     """
-    out, _ = _rel_vjp_fwd(qc, qp, k, v, pos, kv_bias, q_valid, seed, rate, causal, chunk_size, history_size, interpret, pe_causal)
+    out, _ = _rel_vjp_fwd(qc, qp, k, v, pos, kv_bias, q_len, seed, rate, causal, chunk_size, history_size, interpret, pe_causal)
     return out
 
 
-def _rel_pack(qc, qp, k, v, pos, kv_bias, q_valid):
+def _rel_pack(qc, qp, k, v, pos, kv_bias):
     """Lane/sublane dims stay UNPADDED where Pallas block dims can equal the
     array dims (q/k/v head dim, T) — no pad/unpad copies in HBM. Two
     exceptions that must be physically 128-aligned: pos rows (they become
@@ -472,12 +489,11 @@ def _rel_pack(qc, qp, k, v, pos, kv_bias, q_valid):
         pad_rows(v, sp),
         pad_rows(pos, rp),
         None if kv_bias is None else (kv_bias if sp == s else jnp.pad(kv_bias, ((0, 0), (0, 0), (0, sp - s)))),
-        q_valid,
         (bh, t, s, r, t, sp, rp, d),
     )
 
 
-def _rel_build(heads, tp, sp, rp, dp, kvbp, qvp):
+def _rel_build(heads, tp, sp, rp, dp, kvbp):
     """(specs, operands) for the optional mask inputs, shared fwd/bwd."""
     qspec = pl.BlockSpec((1, tp, dp), lambda i, *_: (i, 0, 0))
     kspec = pl.BlockSpec((1, sp, dp), lambda i, *_: (i, 0, 0))
@@ -486,42 +502,45 @@ def _rel_build(heads, tp, sp, rp, dp, kvbp, qvp):
     if kvbp is not None:
         opt_specs.append(pl.BlockSpec((1, 1, sp), lambda i, *_: (i // heads, 0, 0)))
         opt_ops.append(kvbp)
-    if qvp is not None:
-        opt_specs.append(pl.BlockSpec((1, tp, 1), lambda i, *_: (i // heads, 0, 0)))
-        opt_ops.append(qvp)
     return qspec, kspec, pspec, opt_specs, opt_ops
 
 
-def _split_opt(refs, has_kvb, has_qv, n_rest):
-    """refs → (main..., kvb_r, qv_r, rest...) given the optional layout."""
+def _split_opt(refs, has_kvb, n_rest):
+    """refs → (main..., kvb_r, rest...) given the optional layout."""
     n_main = 5
     i = n_main
-    kvb_r = qv_r = None
+    kvb_r = None
     if has_kvb:
         kvb_r = refs[i]
         i += 1
-    if has_qv:
-        qv_r = refs[i]
-        i += 1
-    return refs[:n_main], kvb_r, qv_r, refs[i:]
+    return refs[:n_main], kvb_r, refs[i:]
 
 
-def _rel_vjp_fwd(qc, qp, k, v, pos, kv_bias, q_valid, seed, rate, causal, chunk_size, history_size, interpret, pe_causal=False):
+def _scal_row(seed, q_len):
+    """Scalar-prefetch row: [seed] or [seed, len_0..len_{B-1}] (s32)."""
+    seed = jnp.asarray(seed, jnp.int32).reshape(1)
+    if q_len is None:
+        return seed
+    return jnp.concatenate([seed, jnp.asarray(q_len, jnp.int32).reshape(-1)])
+
+
+def _rel_vjp_fwd(qc, qp, k, v, pos, kv_bias, q_len, seed, rate, causal, chunk_size, history_size, interpret, pe_causal=False):
     interpret = interpret or jax.default_backend() == "cpu"
-    qcp, qpp, kp, vp, posp, kvbp, qvp, (bh, t, s, r, tp, sp, rp, dp) = _rel_pack(qc, qp, k, v, pos, kv_bias, q_valid)
-    bdim = kv_bias.shape[0] if kv_bias is not None else (q_valid.shape[0] if q_valid is not None else bh)
+    qcp, qpp, kp, vp, posp, kvbp, (bh, t, s, r, tp, sp, rp, dp) = _rel_pack(qc, qp, k, v, pos, kv_bias)
+    bdim = kv_bias.shape[0] if kv_bias is not None else (q_len.shape[0] if q_len is not None else bh)
     heads = max(1, bh // max(1, bdim))
-    qspec, kspec, pspec, opt_specs, opt_ops = _rel_build(heads, tp, sp, rp, dp, kvbp, qvp)
-    has_kvb, has_qv = kvbp is not None, qvp is not None
+    qspec, kspec, pspec, opt_specs, opt_ops = _rel_build(heads, tp, sp, rp, dp, kvbp)
+    has_kvb, has_qv = kvbp is not None, q_len is not None
     extra = (r - s) if pe_causal else (r - t + 1 - s)  # XLA [..., -S:] slice offset
     assert extra >= 0, (t, s, r, pe_causal)
 
     def kern(seed_ref, *refs):
-        (qc_r, qp_r, k_r, v_r, pos_r), kvb_r, qv_r, rest = _split_opt(refs, has_kvb, has_qv, 1)
+        (qc_r, qp_r, k_r, v_r, pos_r), kvb_r, rest = _split_opt(refs, has_kvb, 1)
         (o_r,) = rest
         _rel_fwd_kernel(
-            seed_ref, qc_r, qp_r, k_r, v_r, pos_r, kvb_r, qv_r, o_r,
+            seed_ref, qc_r, qp_r, k_r, v_r, pos_r, kvb_r, o_r,
             t=t, s_true=s, r_true=r, extra=extra, causal=causal, chunk_size=chunk_size, history_size=history_size, rate=rate,
+            has_qlen=has_qv, heads=heads,
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -533,30 +552,31 @@ def _rel_vjp_fwd(qc, qp, k, v, pos, kv_bias, q_valid, seed, rate, causal, chunk_
         out_shape=jax.ShapeDtypeStruct((bh, tp, dp), qc.dtype),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(jnp.asarray(seed, jnp.int32).reshape(1), qcp, qpp, kp, vp, posp, *opt_ops)
+    )(_scal_row(seed, q_len), qcp, qpp, kp, vp, posp, *opt_ops)
     out = out[:, :t, : qc.shape[2]]
-    return out, (qc, qp, k, v, pos, kv_bias, q_valid, seed)
+    return out, (qc, qp, k, v, pos, kv_bias, q_len, seed)
 
 
 def _rel_vjp_bwd(rate, causal, chunk_size, history_size, interpret, pe_causal, res, g):
-    qc, qp, k, v, pos, kv_bias, q_valid, seed = res
+    qc, qp, k, v, pos, kv_bias, q_len, seed = res
     interpret_ = interpret or jax.default_backend() == "cpu"
-    qcp, qpp, kp, vp, posp, kvbp, qvp, (bh, t, s, r, tp, sp, rp, dp) = _rel_pack(qc, qp, k, v, pos, kv_bias, q_valid)
-    bdim = kv_bias.shape[0] if kv_bias is not None else (q_valid.shape[0] if q_valid is not None else bh)
+    qcp, qpp, kp, vp, posp, kvbp, (bh, t, s, r, tp, sp, rp, dp) = _rel_pack(qc, qp, k, v, pos, kv_bias)
+    bdim = kv_bias.shape[0] if kv_bias is not None else (q_len.shape[0] if q_len is not None else bh)
     heads = max(1, bh // max(1, bdim))
-    qspec, kspec, pspec, opt_specs, opt_ops = _rel_build(heads, tp, sp, rp, dp, kvbp, qvp)
-    has_kvb, has_qv = kvbp is not None, qvp is not None
+    qspec, kspec, pspec, opt_specs, opt_ops = _rel_build(heads, tp, sp, rp, dp, kvbp)
+    has_kvb, has_qv = kvbp is not None, q_len is not None
     dop = _pad3(g.astype(jnp.float32), tp, dp)
 
     extra = (r - s) if pe_causal else (r - t + 1 - s)
 
     def kern(seed_ref, *refs):
-        (qc_r, qp_r, k_r, v_r, pos_r), kvb_r, qv_r, rest = _split_opt(refs, has_kvb, has_qv, 6)
+        (qc_r, qp_r, k_r, v_r, pos_r), kvb_r, rest = _split_opt(refs, has_kvb, 6)
         do_r, dqc_r, dqp_r, dk_r, dv_r, dpos_r = rest
         _rel_bwd_kernel(
-            seed_ref, qc_r, qp_r, k_r, v_r, pos_r, kvb_r, qv_r, do_r,
+            seed_ref, qc_r, qp_r, k_r, v_r, pos_r, kvb_r, do_r,
             dqc_r, dqp_r, dk_r, dv_r, dpos_r,
             t=t, s_true=s, r_true=r, extra=extra, causal=causal, chunk_size=chunk_size, history_size=history_size, rate=rate,
+            has_qlen=has_qv, heads=heads,
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -577,7 +597,7 @@ def _rel_vjp_bwd(rate, causal, chunk_size, history_size, interpret, pe_causal, r
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret_,
-    )(jnp.asarray(seed, jnp.int32).reshape(1), qcp, qpp, kp, vp, posp, *opt_ops, dop)
+    )(_scal_row(seed, q_len), qcp, qpp, kp, vp, posp, *opt_ops, dop)
 
     d = qc.shape[2]
     return (

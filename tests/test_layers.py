@@ -212,7 +212,7 @@ def test_depthwise_conv_shapes():
     assert y.shape == (2, 10, 8)
 
 
-@pytest.mark.parametrize("impl", ["im2col", "gemm"])
+@pytest.mark.parametrize("impl", ["im2col", "gemm", "rg"])
 @pytest.mark.parametrize(
     "cin,cout,kernel,strides,padding",
     [
@@ -220,6 +220,8 @@ def test_depthwise_conv_shapes():
         (8, 6, (3, 3), (2, 2), "causal"),  # conv_1 shape class
         (3, 5, (3, 2), (2, 1), "causal"),  # asymmetric kernel/strides
         (2, 4, (3, 3), (1, 1), [(1, 1), (1, 1)]),  # explicit pads, stride 1
+        (1, 8, (2, 3), (2, 2), "causal"),  # even time kernel (rg n_rows=2)
+        (1, 8, (3, 3), (2, 3), [(2, 1), (1, 1)]),  # explicit pads incl. right
     ],
 )
 def test_conv2d_fast_paths_match_flax_conv(cin, cout, kernel, strides, padding, impl, monkeypatch):
