@@ -92,6 +92,63 @@ def conv1_gemm_apply(x, kernel, bias, dtype):
     return y.reshape(b, t_out, f_out, d)
 
 
+def conv1_rg_apply(x, kernel, bias, dtype):
+    """conv_0 as pair-reshape + ONE dense GEMM — zero strided ops.
+
+    Every earlier lowering (banded-GEMM, 9-FMA, im2col) paid for stride-2
+    slices over minor dims (lane/sublane relayouts). Here the T stride-2
+    is a contiguous reshape [B, 2*(t_out+1), F] -> [B, t_out+1, 2F] plus one
+    unit-stride shifted view (rows (2to,2to+1 | 2to+2,2to+3)); the F
+    stride-2 + causal pad live inside the [4F, f_out*D] weight matrix built
+    from the conv params at trace time (row block r = kernel dt=r, r=3
+    zero). Dense-F duplication costs ~35x analytic FLOPs but the GEMM
+    (M=B*t_out, K=4F, N=f_out*D) is pure MXU work (~47 GFLOP fwd ~ 0.25 ms
+    at peak), and fwd+bwd touch only contiguous pads/reshapes/slices."""
+    import jax
+    import jax.numpy as jnp
+
+    b, t, f, _ = x.shape
+    kt, kf, _, d = kernel.shape
+    st, sf = 2, 2
+    t_out = (t + (kt - 1) - kt) // st + 1
+    f_out = (f + (kf - 1) - kf) // sf + 1
+    pad_r = 2 * (t_out + 1) - (t + kt - 1)
+    xpt = jnp.pad(x[..., 0], ((0, 0), (kt - 1, pad_r), (0, 0))).astype(dtype)  # [B, 2*(t_out+1), F]
+    v = xpt.reshape(b, t_out + 1, 2 * f)
+    xcat = jnp.concatenate([v[:, :-1], v[:, 1:]], axis=-1)  # [B, t_out, 4F]
+    p = np.zeros((kf, f, f_out), np.float32)
+    for df in range(kf):
+        for fo in range(f_out):
+            src = sf * fo + df - (kf - 1)
+            if 0 <= src < f:
+                p[df, src, fo] = 1.0
+    w4 = jnp.einsum("dsf,tdc->tsfc", jnp.asarray(p), kernel[:, :, 0, :].astype(jnp.float32))  # [kt, F, f_out, D]
+    n_rows = 2 * ((kt - 1) // 2 + 1)  # view rows consumed per output: 4 for kt=3
+    w4 = jnp.concatenate([w4, jnp.zeros((n_rows - kt, f, f_out, d), w4.dtype)], 0)
+    w = w4.reshape(n_rows * f, f_out * d)
+    y = jax.lax.dot_general(xcat.reshape(b * t_out, n_rows * f), w.astype(dtype), (((1,), (0,)), ((), ())))
+    y = y + jnp.tile(bias.astype(dtype), f_out)
+    return y.reshape(b, t_out, f_out, d)
+
+
+def parity_rg():
+    import jax.numpy as jnp
+
+    kernel, bias = _conv1_params()
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 101, F, 1)), jnp.float32)
+    ref = np.asarray(_conv1_xla_apply(x, kernel, bias, jnp.float32))
+    got = np.asarray(conv1_rg_apply(x, kernel, bias, jnp.float32))
+    err = float(np.max(np.abs(ref - got)) / max(1e-9, float(np.max(np.abs(ref)))))
+    print(json.dumps({"component": "parity_conv1_rg_f32", "rel_err": err, "ok": err < 1e-5, "shapes": [list(ref.shape), list(got.shape)]}), flush=True)
+
+
+def conv1_rg():
+    import jax.numpy as jnp
+
+    return _grad_runner(lambda x, k, b: conv1_rg_apply(x, k, b, jnp.bfloat16), (B, TF, F, 1), _conv1_params())
+
+
 def _conv1_params(seed=0):
     import jax
     import jax.numpy as jnp
@@ -283,6 +340,8 @@ def bnswish():
 RUNNERS = {
     "parity": parity,
     "parity_fma": parity_fma,
+    "parity_rg": parity_rg,
+    "conv1_rg": conv1_rg,
     "conv1_xla": conv1_xla,
     "conv1_gemm": conv1_gemm,
     "conv1_fma": conv1_fma,

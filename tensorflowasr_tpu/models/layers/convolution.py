@@ -28,12 +28,26 @@ stack (8.7 ms for ~1.7 ms of math at bs16×16 s, where conv_0 has C_in=1).
 - ``gemm1`` (round 4): banded GEMM for C_in=1 convs only, XLA conv
   elsewhere. Composed: 13.4 vs 11.0 ms — the isolated conv_0 win inverts
   at the layout boundary with the downstream BatchNorm/conv_1.
+- ``rg``/``rg1`` (round 5): removes gemm's remaining strided ops
+  entirely — the time stride-2 becomes a contiguous pair reshape
+  [B, 2·(T'+1), F·C] → [B, T'+1, 2FC] plus ONE unit-stride shifted view,
+  and the F stride + causal pads live inside a [n_rows·F·C, F'·O] weight
+  built from the conv params at trace time. Isolated conv_0: parity with
+  XLA (9.9 vs 9.3 ms, within that harness's run-to-run noise). COMPOSED:
+  ``rg`` (both convs) 40.4 vs 9.4 ms — conv_1's dense-F weight
+  materializes ~200 MB/step; ``rg1`` (conv_0 only) 14.8 vs 9.4 ms — the
+  same layout-boundary inversion as gemm1.
 
 Conclusion worth keeping: XLA's conv lowering composes (fuses BN/act,
 plans layouts across ops) better than any hand lowering here; its ~5×
 over-analytic cost at these shapes is the composed optimum of the
-alternatives tried, not low-hanging fruit. (scripts_dev/subsample_canary.py
-reproduces every number above.)
+alternatives tried, not low-hanging fruit. Round-5 split measurement
+(subsample 9.5 ms vs norm-free 8.0 ms) pins the two BatchNorms at
+~1.5 ms — the convs dominate. The one untried structural win is a fully
+fused two-conv VMEM-resident kernel (the conv_0 output is ~147 MB/step at
+bs16; its HBM round-trips are the floor), which needs a two-pass design
+for the BN batch stats. (scripts_dev/subsample_canary.py reproduces every
+number above.)
 """
 
 from __future__ import annotations
@@ -57,7 +71,7 @@ def _conv2d_impl(padding) -> str:
     9-lane patches that sank im2col. String paddings other than "causal"
     always keep flax's conv."""
     impl = os.environ.get("TFASR_CONV2D_IMPL", "auto").lower()
-    if impl not in ("gemm", "gemm1", "im2col"):
+    if impl not in ("gemm", "gemm1", "im2col", "rg", "rg1"):
         return "xla"
     if isinstance(padding, str) and padding.lower() not in ("causal",):
         return "xla"
@@ -135,6 +149,54 @@ def _conv2d_cin1_gemm(x: jax.Array, kernel: jax.Array, bias, strides, pads, dtyp
     if bias is not None:
         y = y + bias.astype(dtype)
     return y
+
+
+def _conv2d_rg(x: jax.Array, kernel: jax.Array, bias, strides, pads, dtype) -> jax.Array:
+    """Stride-2-in-time Conv2D with ZERO strided ops (round 5).
+
+    Diagnosis behind it: every earlier lowering above — and XLA's own conv
+    at these shapes — pays for stride-2 slices over minor dims (lane/
+    sublane relayout copies dominate; the 9-FMA variant with no MXU at all
+    still measured 6.3 ms vs a 0.4 ms HBM bound). Here the time stride-2
+    is a contiguous pair reshape [B, 2·(T'+1), F·C] → [B, T'+1, 2FC] plus
+    ONE unit-stride shifted view (concat → rows (2t', 2t'+1 | 2t'+2,
+    2t'+3)), and the F stride + causal pads live inside a [n_rows·F·C,
+    F'·O] weight matrix built from the conv params at trace time (time-row
+    block r ↦ kernel tap dt=r; rows ≥ kt are zero). Dense-F duplication
+    costs ~F/sf× the true conv FLOPs, but those are pure MXU work on one
+    big GEMM (M=B·T', K=n_rows·F·C, N=F'·O) — ~47 GFLOP ≈ 0.25 ms at v5e
+    peak for the flagship subsampling conv_0 — and fwd AND bwd touch only
+    contiguous pads/reshapes/unit slices.
+    """
+    kt, kf, cin, o = kernel.shape
+    st, sf = strides
+    assert st == 2
+    (t0, t1), (f0, f1) = pads
+    b, t, f, _ = x.shape
+    t_out = (t + t0 + t1 - kt) // st + 1
+    f_out = (f + f0 + f1 - kf) // sf + 1
+    n_rows = 2 * ((kt - 1) // 2 + 1)  # view rows spanning one output's taps
+    import numpy as _np
+
+    p = _np.zeros((kf, f, f_out), _np.float32)
+    for df in range(kf):
+        for fo in range(f_out):
+            src = sf * fo + df - f0
+            if 0 <= src < f:
+                p[df, src, fo] = 1.0
+    # [kt, F, C, F', O]; row order (tap, F, C) matches the pair-flattened input
+    w = jnp.einsum("dsf,tdco->tscfo", jnp.asarray(p, dtype), kernel.astype(dtype))
+    w = jnp.concatenate([w, jnp.zeros((n_rows - kt, f, cin, f_out, o), w.dtype)], 0)
+    w = w.reshape(n_rows * f * cin, f_out * o)
+    n_pairs = max(t_out + n_rows // 2 - 1, (t + t0 + 1) // 2)
+    pad_r = 2 * n_pairs - (t + t0)
+    xpt = jnp.pad(x, ((0, 0), (t0, pad_r), (0, 0), (0, 0))).astype(dtype)  # [B, 2·n_pairs, F, C]
+    v = xpt.reshape(b, n_pairs, 2 * f * cin)
+    xcat = jnp.concatenate([v[:, i : i + t_out] for i in range(n_rows // 2)], axis=-1)  # [B, T', n_rows·F·C]
+    y = jax.lax.dot_general(xcat.reshape(b * t_out, n_rows * f * cin), w, (((1,), (0,)), ((), ())))
+    if bias is not None:
+        y = y + jnp.tile(bias.astype(dtype), f_out)
+    return y.reshape(b, t_out, f_out, o)
 
 
 def _conv2d_shifted_gemm(x: jax.Array, kernel: jax.Array, bias, strides, pads, dtype) -> jax.Array:
@@ -239,6 +301,10 @@ class Conv2D(nn.Module):
         params = self.get_variable("params", "Conv_0")
         kernel = params["kernel"]
         bias = params["bias"] if self.use_bias else None
+        if impl in ("rg", "rg1"):
+            if tuple(self.strides)[0] == 2 and (impl == "rg" or kernel.shape[2] == 1):
+                return _conv2d_rg(x, kernel, bias, tuple(self.strides), tuple(pad), self.dtype)
+            return conv(x)
         if impl in ("gemm", "gemm1"):
             if kernel.shape[2] == 1:
                 return _conv2d_cin1_gemm(x, kernel, bias, tuple(self.strides), tuple(pad), self.dtype)
