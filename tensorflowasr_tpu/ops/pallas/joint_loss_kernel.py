@@ -78,14 +78,18 @@ def _sublanes_u(n: int) -> int:
 
 def _t_tile() -> int:
     """T rows per grid step (multiple of 16 — bf16 sublane tile). Bigger
-    tiles amortize per-grid-step overhead (the round-2 kernel at TT=16 ran
-    2×(B·T/16) = 800 steps per train step at bench shapes) and feed the MXU
-    larger GEMMs. VMEM at TT=32/U1p=144/J=384: ~25 MB of f32 intermediates,
-    comfortably under the 100 MB cap that v5e accepts. Overridable for
-    on-chip tuning via TFASR_FUSED_TT."""
+    tiles amortize per-grid-step overhead and feed the MXU larger GEMMs,
+    but also grow the f32 [TT, U1p, Jp] intermediates that must round-trip
+    VMEM. Retuned on chip after the round-5 orientation change (lane-major
+    stats, register-carried DP rows): TT=16 now edges TT=32 by ~2% on the
+    full loss leg (14.62/14.48 vs 14.94/14.77 ms over two reps each,
+    Conformer-S bs16×16 s) — the smaller tile halves the VMEM residency
+    (~12 MB of f32 intermediates at TT=16/U1p=144/J=384) and the
+    per-grid-step overhead the bigger tile used to amortize is gone.
+    Overridable for on-chip tuning via TFASR_FUSED_TT."""
     import os
 
-    return int(os.environ.get("TFASR_FUSED_TT", "32"))
+    return int(os.environ.get("TFASR_FUSED_TT", "16"))
 
 
 # --------------------------------------------------------------------------- #
