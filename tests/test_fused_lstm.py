@@ -158,3 +158,34 @@ def test_dispatch_supports_flagship_and_pads_hang_bucket():
     assert _padded_h(320) == 512  # 384-lane axon hang bucket must round up
     # decode-time single-step path never dispatches here (t=1 is fine though)
     assert lstm_shapes_supported(1, 1, 320)
+
+
+def test_pad384_optin_matches_scan(rng, monkeypatch):
+    """TFASR_LSTM_PAD384=384 (the on-chip canary knob) must keep exact
+    parity: per-gate slice offsets move from k·512 to k·384 and every
+    padded lane/row must still contribute nothing."""
+    monkeypatch.setenv("TFASR_LSTM_PAD384", "384")
+    assert _padded_h(320) == 384
+    b, t, e, h = 3, 33, 320, 320
+    x = jnp.asarray(rng.standard_normal((b, t, e)), jnp.float32) * 0.5
+    lengths = jnp.asarray([33, 17, 9], jnp.int32)
+    mask = (jnp.arange(t)[None, :] < lengths[:, None])[..., None].astype(jnp.float32)
+
+    params, fwd_x = _run("xla", monkeypatch, x, lengths, h)
+    _, fwd_p = _run("pallas", monkeypatch, x, lengths, h)
+
+    def loss(fwd):
+        def f(p):
+            y, (c, hh) = fwd(p, x, None)
+            return jnp.sum(jnp.square(y * mask)) + jnp.sum(jnp.square(c)) + jnp.sum(jnp.square(hh))
+
+        return jax.value_and_grad(f)(params)
+
+    vp, gp = loss(fwd_p)
+    vx, gx = loss(fwd_x)
+    np.testing.assert_allclose(np.asarray(vp), np.asarray(vx), rtol=2e-5)
+    jax.tree.map(
+        lambda a, b_: np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=3e-4, atol=3e-4),
+        gp,
+        gx,
+    )
