@@ -52,10 +52,13 @@ def main(names):
         return multi
 
     lens = jnp.full((B,), NSAMPLES, jnp.int32)
+    from tensorflowasr_tpu.ops.pallas.frontend_kernel import log_mel_spectrogram_pallas_v2
+
     stages = {
         "frame": lambda x: F.frame_signal(x, 512, 160, pad_end=True),
         "frame400": lambda x: F.frame_signal(x, 400, 160, pad_end=True),
         "kernel": lambda x: log_mel_spectrogram_pallas(x, cfg),
+        "v2": lambda x: log_mel_spectrogram_pallas_v2(x, cfg),
         "xla": lambda x: F.extract_features(x, lens, cfg)[0],
         "prep": lambda x: F.preemphasis_signal(x, cfg),
     }

@@ -117,14 +117,23 @@ class FeatureExtraction(nn.Module):
             # elementwise pass over [B, N] in XLA; the kernel fuses framing →
             # windowed DFT (MXU matmuls) → power → mel → log. Feature-stage
             # normalization applies after, matching extract_features order.
-            from tensorflowasr_tpu.ops.pallas.frontend_kernel import log_mel_spectrogram_pallas
+            import os
 
+            from tensorflowasr_tpu.ops.pallas import frontend_kernel
+
+            # v2 fuses the framing in-kernel (no [B·T, fl] HBM frames);
+            # v1 is the r4 default pending the v2 on-chip measurement.
+            kernel_fn = (
+                frontend_kernel.log_mel_spectrogram_pallas_v2
+                if os.environ.get("TFASR_FRONTEND_KERNEL", "v1").lower() == "v2"
+                else frontend_kernel.log_mel_spectrogram_pallas
+            )
             sig = signals
             if cfg.padding > 0:
                 sig = jnp.pad(sig, ((0, 0), (0, cfg.padding)))
             sig = frontend.normalize_signal(sig, cfg)
             sig = frontend.preemphasis_signal(sig, cfg)
-            features = log_mel_spectrogram_pallas(sig, cfg)
+            features = kernel_fn(sig, cfg)
             features = frontend.normalize_audio_features(features, cfg)
             features_length = cfg.get_nframes(jnp.asarray(signals_length, jnp.int32))
         else:

@@ -138,3 +138,27 @@ def test_frontend_pallas_partial_frame_padding(rng):
     pal = log_mel_spectrogram_pallas(sig, cfg, interpret=True)
     assert pal.shape == ref.shape
     np.testing.assert_allclose(np.asarray(pal), np.asarray(ref), atol=1e-3)
+
+
+@pytest.mark.parametrize("shape", [(2, 16000), (1, 16123), (3, 4000), (1, 2560)])
+def test_frontend_pallas_v2_matches_xla(rng, shape):
+    """v2 (in-kernel framing) parity with the XLA reference across even,
+    partial-frame, short, and single-tile signal lengths."""
+    from tensorflowasr_tpu.ops import frontend
+    from tensorflowasr_tpu.ops.pallas.frontend_kernel import log_mel_spectrogram_pallas_v2
+
+    cfg = frontend.FrontendConfig()
+    sig = jnp.asarray(rng.standard_normal(shape) * 0.3, jnp.float32)
+    ref = frontend.log_mel_spectrogram(sig, cfg)
+    pal = log_mel_spectrogram_pallas_v2(sig, cfg, interpret=True)
+    assert pal.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(pal), np.asarray(ref), atol=1e-3)
+
+
+def test_frontend_v2_shape_gate():
+    """Unsupported configs fall back to v1 (still correct, never crash)."""
+    from tensorflowasr_tpu.ops.pallas.frontend_kernel import v2_shapes_supported
+
+    assert v2_shapes_supported(256000, 400, 160)
+    assert not v2_shapes_supported(256000, 400, 100)  # fs not sublane-aligned
+    assert not v2_shapes_supported(2 ** 31, 400, 160)  # rows exceed VMEM
